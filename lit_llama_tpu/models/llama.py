@@ -1,0 +1,340 @@
+"""TPU-native LLaMA: pure-functional forward over a parameter pytree.
+
+Capability parity with the reference's single-file model (lit_llama/model.py:51-254):
+token embedding, N pre-norm blocks (fused-QKV causal self-attention with RoPE and a
+static-shape KV cache with roll-left overflow, SwiGLU MLP), final RMSNorm, untied
+lm_head, vocab padded to a multiple of 64.
+
+TPU-first design decisions (vs the reference's mutable nn.Module):
+
+* Parameters are a nested dict pytree with **layers stacked on a leading axis** and
+  the block applied via ``lax.scan`` — one trace/compile of the block regardless of
+  depth, uniform sharding annotations across layers, and `jax.remat` applies to the
+  scanned body for activation checkpointing (replaces FSDP's per-Block
+  activation_checkpointing wrapper, reference: pretrain/redpajama.py:70-75).
+* The KV cache is explicit state threaded through the call — arrays of shape
+  (L, B, H, S, hs) updated with `lax.dynamic_update_slice`; the reference's
+  roll-left-on-overflow (model.py:211-221) becomes a `lax.cond` so the whole decode
+  step stays one compiled XLA program (no per-token `xm.mark_step` graph cuts,
+  generate.py:57-60).
+* Quantization / LoRA / Adapter are parameter-structure variants resolved at build
+  time (see ops/linear.py), not runtime class swaps.
+
+Positions passed via ``input_pos`` must be contiguous (`arange(start, start+T)`), as
+produced by prefill/decode — this is the only pattern the reference's generate loop
+produces and it lets the cache update be a dynamic_update_slice instead of a scatter.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lit_llama_tpu.models.config import LLaMAConfig
+from lit_llama_tpu.ops.attention import attention
+from lit_llama_tpu.ops.linear import linear, quantize_int4, quantize_int8
+from lit_llama_tpu.ops.norm import rms_norm
+from lit_llama_tpu.ops.rope import apply_rope, build_rope_cache
+
+Params = Dict[str, Any]
+KVCache = Dict[str, jnp.ndarray]  # {"k": (L,B,H,S,hs), "v": (L,B,H,S,hs)}
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def init_params(config: LLaMAConfig, key: jax.Array) -> Params:
+    """Random init: normal(0, 0.02/sqrt(2*n_layer)) for linears and the embedding
+    (reference: lit_llama/model.py:70-74)."""
+    std = 0.02 / math.sqrt(2 * config.n_layer)
+    dtype = jnp.dtype(config.param_dtype)
+    D, V, I, L = (
+        config.n_embd,
+        config.padded_vocab_size,
+        config.intermediate_size,
+        config.n_layer,
+    )
+    keys = jax.random.split(key, 8)
+
+    def normal(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+
+    params = {
+        "wte": normal(keys[0], (V, D)),
+        "h": {
+            "rms_1": jnp.ones((L, D), dtype),
+            "attn": {
+                "c_attn": {"w": normal(keys[1], (L, D, 3 * D))},
+                "c_proj": {"w": normal(keys[2], (L, D, D))},
+            },
+            "rms_2": jnp.ones((L, D), dtype),
+            "mlp": {
+                "c_fc1": {"w": normal(keys[3], (L, D, I))},
+                "c_fc2": {"w": normal(keys[4], (L, D, I))},
+                "c_proj": {"w": normal(keys[5], (L, I, D))},
+            },
+        },
+        "ln_f": jnp.ones((D,), dtype),
+        "lm_head": {"w": normal(keys[6], (D, V))},
+    }
+    if config.lora is not None:
+        from lit_llama_tpu.peft import lora as lora_mod
+
+        params = lora_mod.add_lora_params(params, config, keys[7])
+    if config.adapter is not None:
+        from lit_llama_tpu.peft import adapter as adapter_mod
+
+        params = adapter_mod.add_adapter_params(params, config)
+    return params
+
+
+def init_kv_cache(
+    config: LLaMAConfig, batch_size: int, max_seq_length: int, dtype=None
+) -> KVCache:
+    """Zero-initialized static-shape cache (reference: lit_llama/model.py:108-114)."""
+    dtype = dtype or jnp.dtype(config.compute_dtype)
+    shape = (
+        config.n_layer,
+        batch_size,
+        config.n_head,
+        max_seq_length,
+        config.head_size,
+    )
+    cache = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if config.adapter is not None:
+        from lit_llama_tpu.peft import adapter as adapter_mod
+
+        cache.update(adapter_mod.init_adapter_cache(config, batch_size, dtype))
+    return cache
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _block(
+    layer_params: Params,
+    x: jnp.ndarray,
+    rope: jnp.ndarray,
+    mask: jnp.ndarray,
+    config: LLaMAConfig,
+    kv: Optional[KVCache],
+    write_pos: Optional[jnp.ndarray],
+    causal: bool,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """One pre-norm residual block (reference: lit_llama/model.py:148-168)."""
+    h, new_kv = _causal_self_attention(
+        layer_params["attn"],
+        rms_norm(x, layer_params["rms_1"]),
+        rope,
+        mask,
+        config,
+        kv,
+        write_pos,
+        causal,
+        layer_params,
+    )
+    x = x + h
+    x = x + _mlp(layer_params["mlp"], rms_norm(x, layer_params["rms_2"]))
+    return x, new_kv
+
+
+def _causal_self_attention(
+    attn_params: Params,
+    x: jnp.ndarray,
+    rope: jnp.ndarray,
+    mask: jnp.ndarray,
+    config: LLaMAConfig,
+    kv: Optional[KVCache],
+    write_pos: Optional[jnp.ndarray],
+    causal: bool,
+    layer_params: Params,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Fused-QKV attention (reference: lit_llama/model.py:171-237)."""
+    B, T, C = x.shape
+    H, hs = config.n_head, config.head_size
+
+    qkv = linear(attn_params["c_attn"], x)
+    if "lora_a" in attn_params["c_attn"]:
+        from lit_llama_tpu.peft import lora as lora_mod
+
+        qkv = qkv + lora_mod.lora_delta(attn_params["c_attn"], x, config.lora)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, T, H, hs)
+    k = k.reshape(B, T, H, hs)
+    v = v.reshape(B, T, H, hs)
+
+    q = apply_rope(q, rope)
+    k = apply_rope(k, rope)
+
+    q = q.transpose(0, 2, 1, 3)  # (B, H, T, hs)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+
+    new_kv = None
+    if kv is not None:
+        # Write the new keys/values at write_pos (contiguous slice); attention then
+        # runs against the full cache (reference: model.py:211-221).
+        k_cache = jax.lax.dynamic_update_slice(kv["k"], k, (0, 0, write_pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(kv["v"], v, (0, 0, write_pos, 0))
+        new_kv = {"k": k_cache, "v": v_cache}
+        k, v = k_cache, v_cache
+
+    y = attention(q, k, v, mask, causal=causal)
+
+    if config.adapter is not None:
+        from lit_llama_tpu.peft import adapter as adapter_mod
+
+        y, new_kv = adapter_mod.prefix_attention(
+            layer_params, q, y, config, new_kv, write_pos
+        )
+
+    y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
+    return linear(attn_params["c_proj"], y), new_kv
+
+
+def _mlp(mlp_params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU (reference: lit_llama/model.py:240-254)."""
+    return linear(
+        mlp_params["c_proj"],
+        jax.nn.silu(linear(mlp_params["c_fc1"], x)) * linear(mlp_params["c_fc2"], x),
+    )
+
+
+def forward(
+    params: Params,
+    tokens: jnp.ndarray,
+    config: LLaMAConfig,
+    *,
+    rope_cache: Optional[jnp.ndarray] = None,
+    input_pos: Optional[jnp.ndarray] = None,
+    kv_cache: Optional[KVCache] = None,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Run the model.
+
+    Without ``input_pos``: training/eval forward over (B, T) tokens with a causal
+    mask; returns (logits, None).
+
+    With ``input_pos`` (shape (T,), contiguous) and ``kv_cache``: incremental
+    decoding — new K/V written into the cache at the given positions, attention over
+    the whole cache, rolling the cache left by one when the last position overflows
+    (reference: lit_llama/model.py:93-116,211-221). Returns (logits, new_cache).
+    """
+    B, T = tokens.shape
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    if rope_cache is None:
+        rope_cache = build_rope_cache(config.block_size, config.head_size)
+
+    x = jnp.take(params["wte"], tokens, axis=0).astype(compute_dtype)
+
+    write_pos = None
+    causal = False
+    if input_pos is None:
+        rope = jax.lax.slice_in_dim(rope_cache, 0, T, axis=0)
+        mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
+        causal = True
+    else:
+        S = kv_cache["k"].shape[3]
+        # Overflow: roll the cache one slot left and write at the last slot
+        # (reference: model.py:214-218). Only reachable in single-token decode.
+        overflow = input_pos[-1] >= S
+        if T == 1:
+            kv_cache = jax.tree_util.tree_map(
+                lambda c: jax.lax.cond(
+                    overflow, lambda a: jnp.roll(a, -1, axis=3), lambda a: a, c
+                ),
+                kv_cache,
+            )
+            write_pos = jnp.where(overflow, S - 1, input_pos[0])
+        else:
+            write_pos = input_pos[0]
+        rope_pos = jnp.clip(input_pos, 0, config.block_size - 1)
+        rope = jnp.take(rope_cache, rope_pos, axis=0)
+        # mask[t, s] = key slot s visible to query at position input_pos[t]; on
+        # overflow every slot is visible (mask_cache row beyond S-1 is all ones
+        # after the :max_seq_length crop, reference: model.py:95-96).
+        key_slots = jnp.arange(S)[None, :]
+        mask = (key_slots <= input_pos[:, None])[None, None]
+
+    layer_params = params["h"]
+
+    if kv_cache is None:
+
+        def body(h, lp):
+            h, _ = _block(lp, h, rope, mask, config, None, None, causal)
+            return h, None
+
+        if remat:
+            body = jax.checkpoint(body)
+        x, _ = jax.lax.scan(body, x, layer_params)
+        new_cache = None
+    else:
+
+        def body(h, inputs):
+            lp, kv = inputs
+            h, new_kv = _block(lp, h, rope, mask, config, kv, write_pos, causal)
+            return h, new_kv
+
+        x, new_cache = jax.lax.scan(body, x, (layer_params, kv_cache))
+
+    x = rms_norm(x, params["ln_f"])
+    logits = linear(params["lm_head"], x)
+    return logits, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Quantization of a parameter pytree (weight-only)
+# ---------------------------------------------------------------------------
+
+_QUANT_TARGETS = ("c_attn", "c_proj", "c_fc1", "c_fc2", "lm_head")
+
+
+def quantize_params(params: Params, config: LLaMAConfig) -> Params:
+    """Convert dense linear weights to the quantized representation.
+
+    Quantizes the same five per-block linears plus lm_head as the reference's GPTQ
+    driver (quantize/gptq.py:66-72,131-150); the embedding and norms stay dense.
+    For round-to-nearest quantization only — GPTQ produces these params via
+    lit_llama_tpu.quant.gptq instead.
+    """
+    if config.quantize is None:
+        return params
+
+    def quant_one(w):
+        # w may be stacked (L, in, out) or flat (in, out).
+        if w.ndim == 3:
+            fn = jax.vmap(_quantizer(config), in_axes=0)
+        else:
+            fn = _quantizer(config)
+        return fn(w)
+
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+
+    def visit(d):
+        for name, sub in d.items():
+            if isinstance(sub, dict):
+                if name in _QUANT_TARGETS and "w" in sub:
+                    q = quant_one(sub.pop("w"))
+                    sub.update(q)
+                else:
+                    visit(sub)
+
+    visit(out)
+    return out
+
+
+def _quantizer(config: LLaMAConfig):
+    if config.quantize == "int8":
+        return quantize_int8
+    if config.quantize == "int4":
+        import functools
+
+        return functools.partial(quantize_int4, groupsize=config.quant_groupsize)
+    raise ValueError(f"unknown quantize mode {config.quantize!r}")
