@@ -1,0 +1,138 @@
+"""Generate text samples from a LLaMA checkpoint (reference: generate.py:94-172).
+
+Loads lit-llama ``.pth`` checkpoints (via the torch-free reader) or our native
+checkpoint directories, optionally applies weight-only quantization, and samples
+with the single-compile decode engine.
+"""
+
+import sys
+import time
+from pathlib import Path
+from typing import Optional
+
+# support running without installing as a package (reference: generate.py:12-14)
+wd = Path(__file__).parent.resolve()
+sys.path.insert(0, str(wd))
+
+import jax
+import numpy as np
+
+from lit_llama_tpu import LLaMAConfig
+from lit_llama_tpu.data.tokenizer import Tokenizer
+from lit_llama_tpu.models import llama
+from lit_llama_tpu.models.generate import generate
+from lit_llama_tpu.utils import checkpoint as ckpt
+from lit_llama_tpu.utils import convert
+from lit_llama_tpu.utils.pth_reader import llama_model_lookup, load_pth
+
+
+def load_model(
+    checkpoint_path: Path,
+    quantize: Optional[str] = None,
+    model_size: Optional[str] = None,
+    dtype: Optional[str] = None,
+):
+    """Load params + config from a lit-llama .pth or a native checkpoint dir."""
+    if dtype is None:
+        # bf16 on accelerators, fp32 on CPU (reference picks bf16-true when
+        # supported, generate.py:123)
+        dtype = "float32" if jax.default_backend() == "cpu" else "bfloat16"
+    checkpoint_path = Path(checkpoint_path)
+    if checkpoint_path.is_dir():
+        meta = ckpt.load_metadata(checkpoint_path)
+        config = LLaMAConfig(**meta["config"]) if "config" in meta else LLaMAConfig.from_name(model_size or "7B")
+        config = config.replace(param_dtype=dtype, compute_dtype=dtype)
+        import jax.numpy as jnp
+
+        params = ckpt.load_checkpoint(
+            checkpoint_path, transform=lambda name, a: jnp.asarray(a)
+        )
+        if "params" in params:
+            params = params["params"]
+        return params, config
+    sd = load_pth(checkpoint_path)
+    config_json = checkpoint_path.parent / "config.json"
+    if model_size is None and config_json.is_file():
+        import json
+
+        config = LLaMAConfig(
+            **json.loads(config_json.read_text()), param_dtype=dtype, compute_dtype=dtype
+        )
+    else:
+        name = model_size or llama_model_lookup(sd)
+        config = LLaMAConfig.from_name(name, param_dtype=dtype, compute_dtype=dtype)
+    if quantize is not None:
+        mode = {"llm.int8": "int8", "gptq.int4": "int4"}.get(quantize, quantize)
+        config = config.replace(quantize=mode)
+    params = convert.lit_to_pytree(sd, config, dtype=dtype)
+    if config.quantize is not None:
+        params = llama.quantize_params(params, config)
+    return params, config
+
+
+def main(
+    prompt: str = "Hello, my name is",
+    num_samples: int = 1,
+    max_new_tokens: int = 50,
+    top_k: int = 200,
+    temperature: float = 0.8,
+    checkpoint_path: Path = Path("checkpoints/lit-llama/7B/lit-llama.pth"),
+    tokenizer_path: Path = Path("checkpoints/lit-llama/tokenizer.model"),
+    quantize: Optional[str] = None,
+    model_size: Optional[str] = None,
+    seed: int = 1234,
+) -> None:
+    """Generates text samples based on a pre-trained LLaMA model and tokenizer.
+
+    Args:
+        prompt: The prompt string to use for generating the samples.
+        num_samples: The number of text samples to generate.
+        max_new_tokens: The number of generation steps to take.
+        top_k: The number of top most probable tokens to consider in the sampling process.
+        temperature: A value controlling the randomness of the sampling process. Higher values result in more random samples.
+        checkpoint_path: The checkpoint path to load (lit-llama .pth or native dir).
+        tokenizer_path: The tokenizer path to load (.model or tokenizer.json).
+        quantize: Whether to quantize the model: "llm.int8" (8-bit weight-only) or "gptq.int4" (4-bit round-to-nearest; for true GPTQ run quantize/gptq.py first and pass its output).
+        model_size: Override the model preset (7B/13B/30B/65B) if it cannot be inferred.
+        seed: Random seed for sampling.
+    """
+    checkpoint_path, tokenizer_path = Path(checkpoint_path), Path(tokenizer_path)
+    assert checkpoint_path.exists(), checkpoint_path
+    assert tokenizer_path.is_file(), tokenizer_path
+
+    print("Loading model ...", file=sys.stderr)
+    t0 = time.time()
+    params, config = load_model(checkpoint_path, quantize, model_size)
+    print(f"Time to load model: {time.time() - t0:.02f} seconds.", file=sys.stderr)
+
+    tokenizer = Tokenizer(tokenizer_path)
+    encoded = tokenizer.encode(prompt, bos=True, eos=False)
+    prompt_length = len(encoded)
+
+    key = jax.random.PRNGKey(seed)
+    for i in range(num_samples):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        y = generate(
+            params,
+            encoded,
+            max_new_tokens,
+            config=config,
+            temperature=temperature,
+            top_k=top_k,
+            key=sub,
+        )
+        t = time.perf_counter() - t0
+        print(tokenizer.decode(y))
+        tokens_generated = len(y) - prompt_length
+        print(
+            f"Time for inference {i + 1}: {t:.02f} sec total, "
+            f"{tokens_generated / t:.02f} tokens/sec",
+            file=sys.stderr,
+        )
+
+
+if __name__ == "__main__":
+    from lit_llama_tpu.utils.cli import cli
+
+    cli(main)

@@ -1,0 +1,163 @@
+"""Decode engine: prefill + autoregressive sampling as compiled XLA programs.
+
+Capability parity with the reference's ``generate()`` loop (reference:
+generate.py:20-91): KV-cache decoding via ``input_pos``, temperature / top-k
+sampling, eos early-exit, and the sliding-window cache once ``input_pos`` passes
+``max_seq_length``.
+
+TPU-first design: the reference dispatches one graph per token and cuts it with
+``xm.mark_step`` on XLA (generate.py:57-60,81-82). Here the **entire** generation
+loop is a single jitted program — prefill once, then a ``lax.while_loop`` whose body
+is the fused decode step (cache update + attention + sampling). One compile per
+(prompt_bucket, max_new_tokens) shape; zero host round-trips per token; the eos
+early-exit is the while condition.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lit_llama_tpu.models import llama
+from lit_llama_tpu.models.config import LLaMAConfig
+from lit_llama_tpu.ops.rope import build_rope_cache
+
+
+def sample_logits(
+    logits: jnp.ndarray,
+    key: jax.Array,
+    temperature: float,
+    top_k: Optional[int],
+) -> jnp.ndarray:
+    """Temperature / top-k sampling of one next token (reference: generate.py:68-76).
+
+    ``temperature == 0`` means greedy argmax (the reference reaches greedy via
+    temperature -> 0; we special-case it statically)."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k is not None:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    return jax.random.categorical(key, logits).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "config",
+        "max_new_tokens",
+        "max_seq_length",
+        "temperature",
+        "top_k",
+        "eos_id",
+    ),
+)
+def _generate_compiled(
+    params,
+    prompt: jnp.ndarray,  # (T,) int32, static length
+    key: jax.Array,
+    config: LLaMAConfig,
+    max_new_tokens: int,
+    max_seq_length: int,
+    temperature: float,
+    top_k: Optional[int],
+    eos_id: Optional[int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (tokens buffer of length T+max_new_tokens, n_generated)."""
+    T = prompt.shape[0]
+    T_new = T + max_new_tokens
+    dtype = jnp.dtype(config.compute_dtype)
+    rope_cache = build_rope_cache(config.block_size, config.head_size)
+    cache = llama.init_kv_cache(config, 1, max_seq_length, dtype)
+
+    buf = jnp.zeros((T_new,), jnp.int32)
+    buf = jax.lax.dynamic_update_slice(buf, prompt, (0,))
+
+    # Prefill: one pass over the prompt.
+    logits, cache = llama.forward(
+        params,
+        prompt[None, :],
+        config,
+        rope_cache=rope_cache,
+        input_pos=jnp.arange(T),
+        kv_cache=cache,
+    )
+    key, sub = jax.random.split(key)
+    next_tok = sample_logits(logits[0, -1].astype(jnp.float32), sub, temperature, top_k)
+    buf = buf.at[T].set(next_tok)
+
+    def cond(state):
+        i, _, _, _, done = state
+        return jnp.logical_and(i < max_new_tokens - 1, jnp.logical_not(done))
+
+    def body(state):
+        i, buf, cache, key, done = state
+        pos = T + i
+        tok = jax.lax.dynamic_slice(buf, (pos,), (1,))
+        logits, cache = llama.forward(
+            params,
+            tok[None, :],
+            config,
+            rope_cache=rope_cache,
+            input_pos=jnp.array([0]) + pos,
+            kv_cache=cache,
+        )
+        key, sub = jax.random.split(key)
+        nxt = sample_logits(logits[0, -1].astype(jnp.float32), sub, temperature, top_k)
+        buf = jax.lax.dynamic_update_slice(buf, nxt[None], (pos + 1,))
+        done = (nxt == eos_id) if eos_id is not None else jnp.bool_(False)
+        return i + 1, buf, cache, key, done
+
+    init_done = (next_tok == eos_id) if eos_id is not None else jnp.bool_(False)
+    if max_new_tokens > 1:
+        i, buf, cache, key, done = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), buf, cache, key, init_done)
+        )
+    else:
+        i, done = jnp.int32(0), init_done
+    n_generated = i + 1
+    return buf, n_generated
+
+
+def generate(
+    params,
+    prompt: np.ndarray,
+    max_new_tokens: int,
+    *,
+    config: LLaMAConfig,
+    max_seq_length: Optional[int] = None,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    eos_id: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+) -> np.ndarray:
+    """Generate a continuation of ``prompt`` (1-D int array).
+
+    Returns the prompt + generated tokens; stops early at ``eos_id`` (the eos token
+    is included, reference: generate.py:88-89).
+    """
+    prompt = jnp.asarray(prompt, jnp.int32)
+    T = int(prompt.shape[0])
+    T_new = T + max_new_tokens
+    if max_seq_length is None:
+        max_seq_length = min(T_new, config.block_size)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    buf, n_generated = _generate_compiled(
+        params,
+        prompt,
+        key,
+        config,
+        int(max_new_tokens),
+        int(max_seq_length),
+        float(temperature),
+        None if top_k is None else int(top_k),
+        None if eos_id is None else int(eos_id),
+    )
+    n = int(n_generated)
+    return np.asarray(buf)[: T + n]
