@@ -101,8 +101,8 @@ def linear(params: Params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
     else:
         raise ValueError(f"unrecognized linear params: {sorted(params)}")
     if "av2_scale" in params:
-        # Adapter v2 learnable output scale+bias (reference: adapter_v2.py:30-41).
-        out = out * params["av2_scale"].astype(out.dtype) + params["av2_bias"].astype(
+        # Adapter v2 learnable scale * (Wx + bias) (reference: adapter_v2.py:30-33).
+        out = (out + params["av2_bias"].astype(out.dtype)) * params["av2_scale"].astype(
             out.dtype
         )
     return out

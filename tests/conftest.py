@@ -8,10 +8,10 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 # Repo root on sys.path so `import lit_llama_tpu` and the workload scripts work
 # without installation (mirrors the reference's script-mode imports).
@@ -22,6 +22,11 @@ if str(wd) not in sys.path:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# This image's sitecustomize pre-imports jax and pins JAX_PLATFORMS to the axon
+# TPU plugin; env vars set above are then too late, but the config knob still
+# works pre-backend-init. Tests must run on the virtual 8-device CPU platform.
+jax.config.update("jax_platforms", "cpu")
 
 # The CPU backend's default matmul precision (oneDNN fast path) costs ~2e-3 on
 # fp32 logits; golden parity tests need exact fp32 matmuls.
