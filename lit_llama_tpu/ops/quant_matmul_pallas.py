@@ -1,0 +1,231 @@
+"""Pallas TPU kernels: fused weight-only dequant + matmul (int8 and int4).
+
+TPU-native replacements for the reference's GPU kernels
+(bitsandbytes LLM.int8, lit_llama/quantization.py:38-77; Triton int4 group
+matmul, quantization.py:187-333). Same math, laid out for the MXU:
+
+* weights live (in, out) so the contraction walks sublanes and out-channels sit
+  on lanes — scale rows broadcast along lanes for free;
+* int8: accumulate x @ w_q in fp32 over K blocks, apply the per-out-channel
+  scale once at the end (the scale is K-independent);
+* int4: two nibbles per byte packed along K (row 2i -> low nibble). The kernel
+  never interleaves rows: the caller splits x into even/odd columns and the
+  kernel computes ``x_even @ low + x_odd @ high`` per quantization group,
+  scaling the nibble planes with the per-(group, out-channel) scale. The
+  zero-point term factors out of the matmul entirely —
+  ``sum_{k in g} x_k * z_g = (group-sums of x) @ zeros`` — and is added as a
+  tiny (M, K/gs) x (K/gs, N) XLA matmul outside the kernel.
+
+Grid order: (M tiles, N tiles, K tiles) with K innermost — the fp32 accumulator
+scratch carries across the K sweep of one (M, N) tile; any other order would
+clobber it.
+
+Hot-path sizing: decode is M=1 and bandwidth-bound — throughput == how fast the
+packed bytes stream HBM -> VMEM; blocks are sized so the weight DMA dominates
+and stays double-buffered.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# int8: out = (x @ qw) * scale
+# ---------------------------------------------------------------------------
+
+
+def _int8_kernel(x_ref, qw_ref, qs_ref, o_ref, acc_ref):
+    kk = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = qw_ref[:].astype(x_ref.dtype)
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(kk == nk - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * qs_ref[0:1, :]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
+def matmul_int8(
+    x: jnp.ndarray,
+    qw: jnp.ndarray,  # (K, N) int8
+    qscale: jnp.ndarray,  # (1, N) f32
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    lead = x.shape[:-1]
+    K, N = qw.shape
+    x2 = x.reshape(-1, K).astype(compute_dtype)
+    M = x2.shape[0]
+    block_m = min(_round_up(M, 8), 256)
+    Mp = _round_up(M, block_m)
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    block_k = min(K, 512)
+    block_n = min(N, 512)
+
+    out = pl.pallas_call(
+        _int8_kernel,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), compute_dtype),
+        grid=(Mp // block_m, N // block_n, K // block_k),
+        in_specs=[
+            pl.BlockSpec(
+                (block_m, block_k), lambda m, n, k: (m, k), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_k, block_n), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, block_n), lambda m, n, k: (0, n), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_m, block_n), lambda m, n, k: (m, n), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=K * N + Mp * K * 2 + Mp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, qw, qscale.astype(jnp.float32))
+    return out[:M].reshape(*lead, N)
+
+
+# ---------------------------------------------------------------------------
+# int4: out = x_even @ dq(low) + x_odd @ dq(high)  [+ group-sums @ zeros, outside]
+# ---------------------------------------------------------------------------
+
+
+def _int4_kernel(
+    xe_ref, xo_ref, qw_ref, qs_ref, o_ref, acc_ref, *, groups_per_block, gs_half
+):
+    kk = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    dtype = xe_ref.dtype
+    acc = acc_ref[:]
+    for g in range(groups_per_block):
+        packed = qw_ref[pl.ds(g * gs_half, gs_half), :]  # (gs_half, block_n) u8
+        s = qs_ref[g : g + 1, :]  # (1, block_n) f32
+        # Mosaic supports neither uint8->float casts nor i8 vector shifts;
+        # widen to int32 before the nibble extraction
+        p32 = packed.astype(jnp.int32)
+        low = ((p32 & 0xF).astype(jnp.float32) * s).astype(dtype)
+        high = ((p32 >> 4).astype(jnp.float32) * s).astype(dtype)
+        xe = xe_ref[pl.ds(g * gs_half, gs_half), :]  # (gs_half, block_m)
+        xo = xo_ref[pl.ds(g * gs_half, gs_half), :]
+        # contract over sublanes of both operands: (bm, bn)
+        acc += jax.lax.dot_general(
+            xe, low, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc += jax.lax.dot_general(
+            xo, high, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    acc_ref[:] = acc
+
+    @pl.when(kk == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
+def matmul_int4(
+    x: jnp.ndarray,
+    qw: jnp.ndarray,  # (K//2, N) uint8, row 2i -> low nibble
+    qscale: jnp.ndarray,  # (K//gs, N) f32
+    qzero: jnp.ndarray,  # (K//gs, N) f32
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    lead = x.shape[:-1]
+    Kh, N = qw.shape
+    K = Kh * 2
+    n_groups = qscale.shape[0]
+    gs = K // n_groups
+    gs_half = gs // 2
+
+    x2 = x.reshape(-1, K).astype(compute_dtype)
+    M = x2.shape[0]
+    # even/odd columns, transposed to (K/2, M): both kernel operands are then
+    # sliced on sublanes by group
+    xe = x2[:, 0::2].T
+    xo = x2[:, 1::2].T
+    block_m = min(_round_up(M, 8), 256)
+    Mp = _round_up(M, block_m)
+    if Mp != M:
+        xe = jnp.pad(xe, ((0, 0), (0, Mp - M)))
+        xo = jnp.pad(xo, ((0, 0), (0, Mp - M)))
+
+    # Mosaic block rule: the scale block's sublane dim (groups_per_block) must be
+    # a multiple of 8 or the full n_groups. Prefer the largest conforming divisor
+    # that keeps the packed block <= 1024 sublanes; else take K untiled.
+    groups_per_block = n_groups
+    for d in range(min(n_groups, 1024 // gs_half), 0, -1):
+        if n_groups % d == 0 and d % 8 == 0:
+            groups_per_block = d
+            break
+    block_kh = groups_per_block * gs_half
+    block_n = min(N, 512)
+
+    kernel = functools.partial(
+        _int4_kernel, groups_per_block=groups_per_block, gs_half=gs_half
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        grid=(Mp // block_m, N // block_n, Kh // block_kh),
+        in_specs=[
+            pl.BlockSpec(
+                (block_kh, block_m), lambda m, n, k: (k, m), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_kh, block_m), lambda m, n, k: (k, m), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (block_kh, block_n), lambda m, n, k: (k, n), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (groups_per_block, block_n),
+                lambda m, n, k: (k, n),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_m, block_n), lambda m, n, k: (m, n), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=Kh * N + Mp * K * 2 + Mp * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xe, xo, qw, qscale.astype(jnp.float32))
+
+    # zero-point term: sum_{k in g} x_k * z_g(n) == group-sums(x) @ zeros
+    gx = x2.astype(jnp.float32).reshape(M, n_groups, gs).sum(-1)
+    out = out[:M] + gx @ qzero.astype(jnp.float32)
+    return out.reshape(*lead, N).astype(compute_dtype)

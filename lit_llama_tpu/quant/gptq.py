@@ -1,0 +1,263 @@
+"""From-scratch GPTQ: Hessian-based post-training quantization.
+
+Same algorithm as the reference's from-scratch implementation
+(lit_llama/quantization.py:426-616 + quantize/gptq.py:38-150):
+
+* collect per-linear input Hessians H = Σ x xᵀ over calibration batches;
+* damped Cholesky inverse (damp = 0.01·mean(diag H), reference
+  quantization.py:545-556);
+* column-sequential quantize with error feedback, lazy-batched: rows inside a
+  block update immediately, the rest of the matrix once per block
+  (quantization.py:558-594);
+* optional ``actorder`` permutation by descending diag(H);
+* group scales re-estimated at every group boundary from the
+  error-compensated weights (quantization.py:568-574).
+
+TPU-first shape: weights are (in, out) so GPTQ walks *rows*; the inner loop is
+a ``lax.fori_loop`` carrying the weight matrix on device, and the Cholesky runs
+on-device via jnp.linalg (replacing cuSOLVER, SURVEY.md §2.9 item 6). Emits the
+same packed int4 layout ops/linear.py defines, so the Pallas decode kernels
+consume GPTQ checkpoints unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lit_llama_tpu.models import llama
+from lit_llama_tpu.models.config import LLaMAConfig
+from lit_llama_tpu.ops.linear import linear
+from lit_llama_tpu.ops.norm import rms_norm
+from lit_llama_tpu.ops.rope import apply_rope, build_rope_cache
+
+Params = Dict[str, Any]
+
+
+def accumulate_hessian(H: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """H += 2 xᵀx over flattened batch (reference: collect_input_stats,
+    quantization.py:515-529; the factor cancels in the algorithm but matches)."""
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    return H + 2.0 * (x2.T @ x2)
+
+
+def _hinv_cholesky(H: jnp.ndarray, damp_frac: float = 0.01) -> jnp.ndarray:
+    """Upper-Cholesky of H⁻¹ with dead-column handling + damping
+    (reference: quantization.py:541-556)."""
+    dead = jnp.diag(H) == 0.0
+    H = H + jnp.diag(jnp.where(dead, 1.0, 0.0))
+    damp = damp_frac * jnp.mean(jnp.diag(H))
+    H = H + damp * jnp.eye(H.shape[0], dtype=H.dtype)
+    # Hinv via Cholesky solves, then its upper factor U (Hinv = Uᵀ U)
+    L = jnp.linalg.cholesky(H)
+    eye = jnp.eye(H.shape[0], dtype=H.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    Hinv = Linv.T @ Linv
+    return jnp.linalg.cholesky(Hinv).T
+
+
+@functools.partial(jax.jit, static_argnames=("groupsize", "blocksize"))
+def gptq_quantize_matrix(
+    w: jnp.ndarray,  # (in, out) f32
+    H: jnp.ndarray,  # (in, in) f32
+    groupsize: int = 128,
+    blocksize: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (q, scale, zero): q (in, out) int levels in [0,15],
+    scale/zero (in/gs, out). Asymmetric 4-bit, per-(group, out-channel)."""
+    in_f, out_f = w.shape
+    gs = in_f if groupsize == -1 else groupsize
+    n_groups = in_f // gs
+    blocksize = min(blocksize, in_f)
+    while in_f % blocksize:
+        blocksize //= 2
+    w = w.astype(jnp.float32)
+    Hinv = _hinv_cholesky(H)
+
+    q_all = jnp.zeros((in_f, out_f), jnp.float32)
+    scales = jnp.zeros((n_groups, out_f), jnp.float32)
+    zeros = jnp.zeros((n_groups, out_f), jnp.float32)
+
+    def row_step(i, carry):
+        """One row inside the current block: quantize + immediate in-block update."""
+        w, q_all, scales, zeros, err_blk, i0 = carry
+        idx = i0 + i
+
+        # group boundary: re-estimate scale/zero from the *current* rows
+        def new_scale(_):
+            g = idx // gs
+            blk = jax.lax.dynamic_slice(w, (g * gs, 0), (gs, out_f))
+            wmin = jnp.minimum(jnp.min(blk, axis=0), 0.0)
+            wmax = jnp.maximum(jnp.max(blk, axis=0), 0.0)
+            s = jnp.maximum((wmax - wmin) / 15.0, 1e-12)
+            return s, wmin
+
+        def old_scale(_):
+            g = idx // gs
+            return scales[g], zeros[g]
+
+        s, z = jax.lax.cond(idx % gs == 0, new_scale, old_scale, None)
+        g = idx // gs
+        scales = scales.at[g].set(s)
+        zeros = zeros.at[g].set(z)
+
+        wrow = jax.lax.dynamic_slice(w, (idx, 0), (1, out_f))[0]
+        qrow = jnp.clip(jnp.round((wrow - z) / s), 0.0, 15.0)
+        dq = qrow * s + z
+        q_all = jax.lax.dynamic_update_slice(q_all, qrow[None], (idx, 0))
+
+        d = Hinv[idx, idx]
+        err = (wrow - dq) / d
+        err_blk = jax.lax.dynamic_update_slice(err_blk, err[None], (i, 0))
+
+        # immediate update of the remaining rows of this block
+        hrow = jax.lax.dynamic_slice(Hinv, (idx, 0), (1, in_f))[0]
+        blk_rows = jax.lax.dynamic_slice(w, (i0, 0), (blocksize, out_f))
+        hseg = jax.lax.dynamic_slice(hrow, (i0,), (blocksize,))
+        row_ids = jnp.arange(blocksize)
+        upd = jnp.where((row_ids > i)[:, None], hseg[:, None] * err[None, :], 0.0)
+        blk_rows = blk_rows - upd
+        w = jax.lax.dynamic_update_slice(w, blk_rows, (i0, 0))
+        return w, q_all, scales, zeros, err_blk, i0
+
+    def block_step(b, carry):
+        w, q_all, scales, zeros = carry
+        i0 = b * blocksize
+        err_blk = jnp.zeros((blocksize, out_f), jnp.float32)
+        w, q_all, scales, zeros, err_blk, _ = jax.lax.fori_loop(
+            0, blocksize, row_step, (w, q_all, scales, zeros, err_blk, i0)
+        )
+        # lazy update of everything after the block:
+        # W[j>=i0+B] -= Hinv[i0:i0+B, j].T @ Err
+        hseg = jax.lax.dynamic_slice(Hinv, (i0, 0), (blocksize, in_f))
+        mask = (jnp.arange(in_f) >= i0 + blocksize)[None, :]
+        hseg = jnp.where(mask, hseg, 0.0)
+        w = w - hseg.T @ err_blk
+        return w, q_all, scales, zeros
+
+    n_blocks = in_f // blocksize
+    w, q_all, scales, zeros = jax.lax.fori_loop(
+        0, n_blocks, block_step, (w, q_all, scales, zeros)
+    )
+    return q_all.astype(jnp.uint8), scales, zeros
+
+
+def pack_q4(q: jnp.ndarray) -> jnp.ndarray:
+    """(in, out) int levels -> (in//2, out) packed bytes (row 2i -> low nibble),
+    the layout ops/linear.py:quantize_int4 defines."""
+    return (q[0::2] | (q[1::2] << 4)).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Block-wise model quantization driver (reference: quantize/gptq.py:38-150)
+# ---------------------------------------------------------------------------
+
+
+def _attn_forward_tapped(lp, x, rope, mask, config):
+    """Block forward that returns the inputs seen by each quantizable linear."""
+    B, T, C = x.shape
+    H, hs = config.n_head, config.head_size
+    taps = {}
+    h1 = rms_norm(x, lp["rms_1"])
+    taps["attn.c_attn"] = h1
+    qkv = linear(lp["attn"]["c_attn"], h1)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = apply_rope(q.reshape(B, T, H, hs), rope).transpose(0, 2, 1, 3)
+    k = apply_rope(k.reshape(B, T, H, hs), rope).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, H, hs).transpose(0, 2, 1, 3)
+    from lit_llama_tpu.ops.attention import attention
+
+    y = attention(q, k, v, mask, causal=True)
+    y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
+    taps["attn.c_proj"] = y
+    x = x + linear(lp["attn"]["c_proj"], y)
+    h2 = rms_norm(x, lp["rms_2"])
+    taps["mlp.c_fc1"] = h2
+    taps["mlp.c_fc2"] = h2
+    gate = jax.nn.silu(linear(lp["mlp"]["c_fc1"], h2)) * linear(lp["mlp"]["c_fc2"], h2)
+    taps["mlp.c_proj"] = gate
+    x = x + linear(lp["mlp"]["c_proj"], gate)
+    return x, taps
+
+
+_BLOCK_TARGETS = ("attn.c_attn", "attn.c_proj", "mlp.c_fc1", "mlp.c_fc2", "mlp.c_proj")
+
+
+def _get(d: Params, dotted: str):
+    for k in dotted.split("."):
+        d = d[k]
+    return d
+
+
+def quantize_model_gptq(
+    params: Params,
+    config: LLaMAConfig,
+    calib_tokens: jnp.ndarray,  # (n_samples, T) int32
+    groupsize: int = 128,
+    batch: int = 4,
+) -> Params:
+    """Sequential block-wise GPTQ over the whole model: quantize the 5 per-block
+    linears + lm_head, propagating error-compensated activations block to block
+    (reference: llama_blockwise_quantization, quantize/gptq.py:38-150).
+
+    Returns params with the same quantized leaf layout as
+    ``llama.quantize_params(config.replace(quantize="int4"))``.
+    """
+    n_samples, T = calib_tokens.shape
+    rope_full = build_rope_cache(config.block_size, config.head_size)
+    rope = jax.lax.slice_in_dim(rope_full, 0, T, axis=0)
+    mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
+    D = config.n_embd
+
+    xs = params["wte"][calib_tokens].astype(jnp.float32)  # (n, T, D)
+
+    out = jax.tree_util.tree_map(lambda a: a, params)
+    L = config.n_layer
+
+    for layer in range(L):
+        lp = jax.tree_util.tree_map(lambda a: a[layer], params["h"])
+        # pass 1: Hessians over all calib samples
+        Hs = {t: jnp.zeros((_get(lp, t)["w"].shape[0],) * 2, jnp.float32) for t in _BLOCK_TARGETS}
+        for b in range(0, n_samples, batch):
+            _, taps = _attn_forward_tapped(lp, xs[b : b + batch], rope, mask, config)
+            for t in _BLOCK_TARGETS:
+                Hs[t] = accumulate_hessian(Hs[t], taps[t])
+        # quantize each linear
+        for t in _BLOCK_TARGETS:
+            w = _get(lp, t)["w"].astype(jnp.float32)
+            q, s, z = gptq_quantize_matrix(w, Hs[t], groupsize=groupsize)
+            _get(lp, t).pop("w")
+            _get(lp, t)["qw"] = pack_q4(q)
+            _get(lp, t)["qscale"] = s
+            _get(lp, t)["qzero"] = z
+        # pass 2: propagate through the quantized block
+        new_xs = []
+        for b in range(0, n_samples, batch):
+            y, _ = _attn_forward_tapped(lp, xs[b : b + batch], rope, mask, config)
+            new_xs.append(y)
+        xs = jnp.concatenate(new_xs, axis=0)
+        # write the quantized leaves back into the stacked tree
+        for t in _BLOCK_TARGETS:
+            dst = _get(out["h"], t)
+            if "w" in dst:
+                dst.pop("w")
+                dst["qw"] = jnp.zeros((L,) + _get(lp, t)["qw"].shape, jnp.uint8)
+                dst["qscale"] = jnp.zeros((L,) + _get(lp, t)["qscale"].shape, jnp.float32)
+                dst["qzero"] = jnp.zeros((L,) + _get(lp, t)["qzero"].shape, jnp.float32)
+            dst["qw"] = dst["qw"].at[layer].set(_get(lp, t)["qw"])
+            dst["qscale"] = dst["qscale"].at[layer].set(_get(lp, t)["qscale"])
+            dst["qzero"] = dst["qzero"].at[layer].set(_get(lp, t)["qzero"])
+
+    # lm_head on final-norm output (reference: quantize/gptq.py:131-150)
+    h_final = rms_norm(xs, params["ln_f"])
+    Hlm = jnp.zeros((D, D), jnp.float32)
+    for b in range(0, n_samples, batch):
+        Hlm = accumulate_hessian(Hlm, h_final[b : b + batch])
+    q, s, z = gptq_quantize_matrix(
+        params["lm_head"]["w"].astype(jnp.float32), Hlm, groupsize=groupsize
+    )
+    out["lm_head"] = {"qw": pack_q4(q), "qscale": s, "qzero": z}
+    return out

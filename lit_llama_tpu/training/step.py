@@ -84,7 +84,13 @@ def make_optimizer(tc: TrainConfig, trainable_mask=None) -> optax.GradientTransf
     ]
     opt = optax.chain(*chain)
     if trainable_mask is not None:
-        opt = optax.masked(opt, trainable_mask)
+        # masked() leaves un-masked gradients untouched (identity), which would
+        # still update frozen params — explicitly zero them instead.
+        frozen = jax.tree_util.tree_map(lambda b: not b, trainable_mask)
+        opt = optax.chain(
+            optax.masked(opt, trainable_mask),
+            optax.masked(optax.set_to_zero(), frozen),
+        )
     return opt
 
 

@@ -1,0 +1,100 @@
+"""GPTQ tests (reference tests the Triton kernel only; the quantizer itself is
+validated here by reconstruction-quality properties)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lit_llama_tpu import LLaMAConfig, forward, init_params
+from lit_llama_tpu.ops.linear import dequantize_int4
+from lit_llama_tpu.quant import gptq
+
+
+def dequant(q, s, z, gs):
+    in_f, out_f = q.shape
+    qf = q.astype(jnp.float32).reshape(in_f // gs, gs, out_f)
+    return (qf * s[:, None, :] + z[:, None, :]).reshape(in_f, out_f)
+
+
+def test_gptq_diagonal_hessian_is_rtn(rng):
+    """With a diagonal Hessian there is no error to propagate: GPTQ == plain
+    round-to-nearest at the same scale/zero."""
+    in_f, out_f, gs = 128, 64, 64
+    w = jnp.asarray(rng.normal(size=(in_f, out_f)), jnp.float32)
+    H = jnp.eye(in_f) * 2.0
+    q, s, z = gptq.gptq_quantize_matrix(w, H, groupsize=gs, blocksize=32)
+    wmin = jnp.minimum(jnp.min(w.reshape(2, gs, out_f), axis=1), 0.0)
+    wmax = jnp.maximum(jnp.max(w.reshape(2, gs, out_f), axis=1), 0.0)
+    s_ref = jnp.maximum((wmax - wmin) / 15.0, 1e-12)
+    q_ref = jnp.clip(
+        jnp.round((w.reshape(2, gs, out_f) - wmin[:, None, :]) / s_ref[:, None, :]),
+        0,
+        15,
+    ).reshape(in_f, out_f)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(q_ref))
+
+
+def test_gptq_beats_rtn_on_correlated_inputs(rng):
+    """GPTQ's error feedback lowers the output-space error ||xW - x dq(W)||
+    versus round-to-nearest when inputs are correlated — the whole point of the
+    algorithm (reference: quantization.py:531-594)."""
+    in_f, out_f, gs = 256, 128, 128
+    n = 512
+    # correlated calibration inputs
+    mix = rng.normal(size=(in_f, in_f)) * 0.3 + np.eye(in_f)
+    x = jnp.asarray(rng.normal(size=(n, in_f)) @ mix, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(in_f, out_f)) * 0.1, jnp.float32)
+    H = gptq.accumulate_hessian(jnp.zeros((in_f, in_f)), x)
+
+    q, s, z = gptq.gptq_quantize_matrix(w, H, groupsize=gs, blocksize=64)
+    w_gptq = dequant(q, s, z, gs)
+
+    from lit_llama_tpu.ops.linear import quantize_int4
+
+    w_rtn = dequantize_int4(quantize_int4(w, groupsize=gs), jnp.float32)
+
+    err_gptq = float(jnp.linalg.norm(x @ w - x @ w_gptq))
+    err_rtn = float(jnp.linalg.norm(x @ w - x @ w_rtn))
+    assert err_gptq < err_rtn
+
+
+def test_gptq_pack_layout_roundtrip(rng):
+    q = jnp.asarray(rng.integers(0, 16, size=(64, 32)), jnp.uint8)
+    packed = gptq.pack_q4(q)
+    from lit_llama_tpu.ops.linear import unpack_int4
+
+    np.testing.assert_array_equal(np.asarray(unpack_int4(packed)), np.asarray(q))
+
+
+def test_quantize_model_gptq_end_to_end(rng):
+    """Structure + forward parity on a tiny model: the GPTQ'd pytree slots into
+    the standard int4 forward (reference flow: quantize/gptq.py then
+    generate --quantize, howto/inference.md)."""
+    cfg = LLaMAConfig(
+        block_size=32,
+        vocab_size=64,
+        n_layer=2,
+        n_head=2,
+        n_embd=64,
+        quant_groupsize=32,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    calib = jnp.asarray(rng.integers(0, 64, size=(8, 16)), jnp.int32)
+    qparams = gptq.quantize_model_gptq(params, cfg, calib, groupsize=32, batch=4)
+
+    assert "qw" in qparams["h"]["attn"]["c_attn"]
+    assert "w" not in qparams["h"]["attn"]["c_attn"]
+    assert "qw" in qparams["lm_head"]
+    # embedding and norms stay dense (reference: quantize/gptq.py:66-72)
+    assert qparams["wte"].shape == params["wte"].shape
+
+    qcfg = cfg.replace(quantize="int4")
+    toks = calib[:1]
+    ref, _ = forward(params, toks, cfg)
+    got, _ = forward(qparams, toks, qcfg)
+    # int4 quantization error on random weights is large in absolute logits;
+    # just require strong correlation with the dense model
+    r = np.corrcoef(np.asarray(ref).ravel(), np.asarray(got).ravel())[0, 1]
+    assert r > 0.95

@@ -1,0 +1,84 @@
+"""Pallas kernels vs the XLA reference paths, in interpreter mode on CPU
+(mirrors the reference's strategy of testing the Triton kernel against the
+dequantize+F.linear fallback, lit_llama/quantization.py:339-340)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lit_llama_tpu.ops import linear as linear_ops
+from lit_llama_tpu.ops import quant_matmul
+from lit_llama_tpu.ops import quant_matmul_pallas as qmp
+from lit_llama_tpu.ops.attention import attention_xla
+from lit_llama_tpu.ops.flash_attention import flash_attention
+
+
+@pytest.mark.parametrize("M", [1, 4, 9])
+def test_int8_kernel_matches_xla(rng, M):
+    K, N = 512, 256
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(K, N)) * 0.02, jnp.float32)
+    q = linear_ops.quantize_int8(w)
+    ref = quant_matmul.matmul_int8_xla(x, q["qw"], q["qscale"], jnp.float32)
+    got = qmp.matmul_int8(x, q["qw"], q["qscale"], jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("M", [1, 4])
+def test_int4_kernel_matches_xla(rng, M):
+    K, N, gs = 512, 256, 128
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(K, N)) * 0.02, jnp.float32)
+    q = linear_ops.quantize_int4(w, groupsize=gs)
+    ref = quant_matmul.matmul_int4_xla(
+        x, q["qw"], q["qscale"], q["qzero"], jnp.float32
+    )
+    got = qmp.matmul_int4(
+        x, q["qw"], q["qscale"], q["qzero"], jnp.float32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-2, rtol=3e-2)
+
+
+def test_int4_kernel_batched_input(rng):
+    """(B, T, K) leading dims collapse correctly."""
+    K, N, gs = 256, 256, 128
+    x = jnp.asarray(rng.normal(size=(2, 3, K)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(K, N)) * 0.02, jnp.float32)
+    q = linear_ops.quantize_int4(w, groupsize=gs)
+    ref = quant_matmul.matmul_int4_xla(x, q["qw"], q["qscale"], q["qzero"], jnp.float32)
+    got = qmp.matmul_int4(
+        x, q["qw"], q["qscale"], q["qzero"], jnp.float32, interpret=True
+    )
+    assert got.shape == (2, 3, N)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-2, rtol=3e-2)
+
+
+def test_flash_attention_matches_xla(rng):
+    B, H, T, hs = 1, 2, 256, 128
+    q = jnp.asarray(rng.normal(size=(B, H, T, hs)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, T, hs)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, T, hs)), jnp.float32)
+    mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
+    ref = attention_xla(q, k, v, mask)
+    got = flash_attention(q, k, v, True, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_grad_matches_xla(rng):
+    B, H, T, hs = 1, 1, 128, 128
+    q = jnp.asarray(rng.normal(size=(B, H, T, hs)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, T, hs)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, T, hs)), jnp.float32)
+    mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
+
+    def f_flash(q, k, v):
+        return (flash_attention(q, k, v, True, True) ** 2).sum()
+
+    def f_ref(q, k, v):
+        return (attention_xla(q, k, v, mask) ** 2).sum()
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
