@@ -1,0 +1,85 @@
+"""LoRA instruction finetuning on alpaca-style data
+(reference: finetune/lora.py — bf16, saves LoRA A/B only)."""
+
+import sys
+from pathlib import Path
+
+wd = Path(__file__).parent.parent.resolve()
+sys.path.insert(0, str(wd))
+
+
+def main(
+    data_dir: Path = Path("data/alpaca"),
+    checkpoint_path: Path = Path("checkpoints/lit-llama/7B/lit-llama.pth"),
+    tokenizer_path: Path = Path("checkpoints/lit-llama/tokenizer.model"),
+    out_dir: Path = Path("out/lora/alpaca"),
+    learning_rate: float = 3e-4,
+    batch_size: int = 128,
+    micro_batch_size: int = 4,
+    max_iters: int = 50000 * 3 // 4,
+    warmup_iters: int = 100,
+    eval_interval: int = 100,
+    eval_iters: int = 100,
+    save_interval: int = 100,
+    log_interval: int = 1,
+    max_seq_length: int = 256,
+    lora_r: int = 8,
+    lora_alpha: float = 16.0,
+    lora_dropout: float = 0.05,
+    data_parallel: int = -1,
+    model_parallel: int = 1,
+) -> None:
+    """Finetune LLaMA with LoRA on an instruction dataset.
+
+    Args:
+        data_dir: Directory with train.pt / test.pt from prepare_alpaca.py.
+        checkpoint_path: Base model checkpoint (.pth or native dir).
+        tokenizer_path: SentencePiece tokenizer model.
+        out_dir: Output directory for LoRA checkpoints.
+        learning_rate: Peak AdamW learning rate (reference: 3e-4).
+        batch_size: Global batch size (reference: 128).
+        micro_batch_size: Per-step microbatch (reference: 4).
+        max_iters: Total optimizer steps.
+        warmup_iters: Linear warmup steps (reference: 100).
+        eval_interval: Validate every N steps.
+        eval_iters: Validation batches per eval.
+        save_interval: Checkpoint every N steps.
+        log_interval: Log every N steps.
+        max_seq_length: Truncation length (see prepare_alpaca.py).
+        lora_r: LoRA rank (reference: 8).
+        lora_alpha: LoRA alpha (reference: 16).
+        lora_dropout: LoRA input dropout (reference: 0.05).
+        data_parallel: Mesh data-axis size (-1 = all devices / model_parallel).
+        model_parallel: Mesh model-axis (tensor parallel) size.
+    """
+    from lit_llama_tpu.training import finetune
+
+    finetune.run(
+        "lora",
+        data_dir,
+        checkpoint_path,
+        tokenizer_path,
+        out_dir,
+        learning_rate=learning_rate,
+        weight_decay=0.0,
+        batch_size=batch_size,
+        micro_batch_size=micro_batch_size,
+        max_iters=max_iters,
+        warmup_iters=warmup_iters,
+        eval_interval=eval_interval,
+        eval_iters=eval_iters,
+        save_interval=save_interval,
+        log_interval=log_interval,
+        max_seq_length=max_seq_length,
+        lora_r=lora_r,
+        lora_alpha=lora_alpha,
+        lora_dropout=lora_dropout,
+        data_parallel=data_parallel,
+        model_parallel=model_parallel,
+    )
+
+
+if __name__ == "__main__":
+    from lit_llama_tpu.utils.cli import cli
+
+    cli(main)

@@ -17,57 +17,9 @@ sys.path.insert(0, str(wd))
 import jax
 import numpy as np
 
-from lit_llama_tpu import LLaMAConfig
 from lit_llama_tpu.data.tokenizer import Tokenizer
-from lit_llama_tpu.models import llama
 from lit_llama_tpu.models.generate import generate
-from lit_llama_tpu.utils import checkpoint as ckpt
-from lit_llama_tpu.utils import convert
-from lit_llama_tpu.utils.pth_reader import llama_model_lookup, load_pth
-
-
-def load_model(
-    checkpoint_path: Path,
-    quantize: Optional[str] = None,
-    model_size: Optional[str] = None,
-    dtype: Optional[str] = None,
-):
-    """Load params + config from a lit-llama .pth or a native checkpoint dir."""
-    if dtype is None:
-        # bf16 on accelerators, fp32 on CPU (reference picks bf16-true when
-        # supported, generate.py:123)
-        dtype = "float32" if jax.default_backend() == "cpu" else "bfloat16"
-    checkpoint_path = Path(checkpoint_path)
-    if checkpoint_path.is_dir():
-        meta = ckpt.load_metadata(checkpoint_path)
-        config = LLaMAConfig(**meta["config"]) if "config" in meta else LLaMAConfig.from_name(model_size or "7B")
-        config = config.replace(param_dtype=dtype, compute_dtype=dtype)
-        import jax.numpy as jnp
-
-        params = ckpt.load_checkpoint(
-            checkpoint_path, transform=lambda name, a: jnp.asarray(a)
-        )
-        if "params" in params:
-            params = params["params"]
-        return params, config
-    sd = load_pth(checkpoint_path)
-    config_json = checkpoint_path.parent / "config.json"
-    if model_size is None and config_json.is_file():
-        import json
-
-        config = LLaMAConfig(
-            **json.loads(config_json.read_text()), param_dtype=dtype, compute_dtype=dtype
-        )
-    else:
-        name = model_size or llama_model_lookup(sd)
-        config = LLaMAConfig.from_name(name, param_dtype=dtype, compute_dtype=dtype)
-    if quantize is not None:
-        mode = {"llm.int8": "int8", "gptq.int4": "int4"}.get(quantize, quantize)
-        config = config.replace(quantize=mode)
-    params = convert.lit_to_pytree(sd, config, dtype=dtype)
-    if config.quantize is not None:
-        params = llama.quantize_params(params, config)
-    return params, config
+from lit_llama_tpu.utils.loader import load_model
 
 
 def main(

@@ -1,0 +1,88 @@
+"""Generate with LoRA weights overlaid on a base checkpoint
+(reference: generate/lora.py — two-stage load, rank inferred from lora_B)."""
+
+import sys
+import time
+from pathlib import Path
+from typing import Optional
+
+wd = Path(__file__).parent.parent.resolve()
+sys.path.insert(0, str(wd))
+
+import jax
+
+
+def main(
+    prompt: str = "What food do lamas eat?",
+    input: str = "",
+    lora_path: Path = Path("out/lora/alpaca/lit-llama-lora-finetuned"),
+    checkpoint_path: Path = Path("checkpoints/lit-llama/7B/lit-llama.pth"),
+    tokenizer_path: Path = Path("checkpoints/lit-llama/tokenizer.model"),
+    lora_alpha: float = 16.0,
+    max_new_tokens: int = 100,
+    top_k: int = 200,
+    temperature: float = 0.8,
+    seed: int = 1234,
+) -> None:
+    """Generates a response based on a given instruction with a LoRA overlay.
+
+    Args:
+        prompt: The instruction string.
+        input: Optional input for the instruction template.
+        lora_path: LoRA checkpoint directory (from finetune/lora.py).
+        checkpoint_path: The base model checkpoint (.pth or native dir).
+        tokenizer_path: The tokenizer path to load.
+        lora_alpha: LoRA alpha used at finetune time (rank is inferred from the weights).
+        max_new_tokens: The number of generation steps to take.
+        top_k: The number of top most probable tokens to consider in the sampling process.
+        temperature: A value controlling the randomness of the sampling process.
+        seed: Random seed for sampling.
+    """
+    from lit_llama_tpu.data import sft
+    from lit_llama_tpu.data.tokenizer import Tokenizer
+    from lit_llama_tpu.models.config import LoRAConfig
+    from lit_llama_tpu.models.generate import generate
+    from lit_llama_tpu.peft import lora as lora_mod
+    from lit_llama_tpu.utils import checkpoint as ckpt
+    from lit_llama_tpu.utils.loader import load_model
+
+    import jax.numpy as jnp
+
+    params, config = load_model(Path(checkpoint_path))
+    tree = ckpt.load_checkpoint(Path(lora_path), transform=lambda n, a: jnp.asarray(a))
+    lora_params = tree["params"] if "params" in tree else tree
+    # infer rank from lora_b (L, n_en, r, D) (reference: convert_lora_weights.py:28-32)
+    r = int(lora_params["h"]["attn"]["c_attn"]["lora_b"].shape[-2])
+    config = config.replace(lora=LoRAConfig(r=r, alpha=lora_alpha, dropout=0.0))
+    params = lora_mod.load_lora_state(params, lora_params)
+
+    tokenizer = Tokenizer(tokenizer_path)
+    full_prompt = sft.generate_prompt({"instruction": prompt, "input": input})
+    encoded = tokenizer.encode(full_prompt, bos=True, eos=False)
+
+    t0 = time.perf_counter()
+    y = generate(
+        params,
+        encoded,
+        max_new_tokens,
+        config=config,
+        temperature=temperature,
+        top_k=top_k,
+        eos_id=tokenizer.eos_id,
+        key=jax.random.PRNGKey(seed),
+    )
+    t = time.perf_counter() - t0
+    output = tokenizer.decode(y)
+    output = output.split("### Response:")[-1].strip()
+    print(output)
+    print(
+        f"Time for inference: {t:.02f} sec total, "
+        f"{(len(y) - len(encoded)) / t:.02f} tokens/sec",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    from lit_llama_tpu.utils.cli import cli
+
+    cli(main)

@@ -57,8 +57,27 @@ def _parse_bool(s: str) -> bool:
     raise argparse.ArgumentTypeError(f"expected a boolean, got {s!r}")
 
 
+def _apply_platform_override() -> None:
+    """Honor LIT_LLAMA_TPU_PLATFORM=cpu|tpu for workload CLIs.
+
+    This image's sitecustomize pre-imports jax pinned to the TPU plugin, so
+    JAX_PLATFORMS set by the user is ignored; the config knob still works until
+    the first backend initialization."""
+    import os
+
+    plat = os.environ.get("LIT_LLAMA_TPU_PLATFORM")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
+
 def cli(fn: Callable, args: Optional[list] = None):
     """Parse argv according to ``fn``'s signature and call it."""
+    _apply_platform_override()
     sig = inspect.signature(fn)
     helps = _docstring_arg_help(fn)
     doc = (inspect.getdoc(fn) or "").split("\n\n")[0]
