@@ -179,10 +179,18 @@ def _causal_self_attention(
 
     new_kv = None
     if kv is not None:
-        # Write the new keys/values at write_pos (contiguous slice); attention then
-        # runs against the full cache (reference: model.py:211-221).
-        k_cache = jax.lax.dynamic_update_slice(kv["k"], k, (0, 0, write_pos, 0))
-        v_cache = jax.lax.dynamic_update_slice(kv["v"], v, (0, 0, write_pos, 0))
+        if write_pos.ndim == 0:
+            # Write the new keys/values at write_pos (contiguous slice); attention
+            # then runs against the full cache (reference: model.py:211-221).
+            k_cache = jax.lax.dynamic_update_slice(kv["k"], k, (0, 0, write_pos, 0))
+            v_cache = jax.lax.dynamic_update_slice(kv["v"], v, (0, 0, write_pos, 0))
+        else:
+            # Per-slot positions (continuous batching): one-hot masked write of
+            # this step's (B, H, 1, hs) k/v at each slot's own position.
+            S = kv["k"].shape[2]
+            hit = (jnp.arange(S)[None, :] == write_pos[:, None])[:, None, :, None]
+            k_cache = jnp.where(hit, k, kv["k"])
+            v_cache = jnp.where(hit, v, kv["v"])
         new_kv = {"k": k_cache, "v": v_cache}
         k, v = k_cache, v_cache
 
@@ -214,6 +222,7 @@ def forward(
     *,
     rope_cache: Optional[jnp.ndarray] = None,
     input_pos: Optional[jnp.ndarray] = None,
+    slot_pos: Optional[jnp.ndarray] = None,
     kv_cache: Optional[KVCache] = None,
     remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
@@ -226,6 +235,10 @@ def forward(
     decoding — new K/V written into the cache at the given positions, attention over
     the whole cache, rolling the cache left by one when the last position overflows
     (reference: lit_llama/model.py:93-116,211-221). Returns (logits, new_cache).
+
+    With ``slot_pos`` (shape (B,)) and ``kv_cache``: continuous-batching decode —
+    each batch slot is an independent sequence writing its single new token at its
+    own position (beyond the reference, north-star scope: BASELINE.json config #5).
     """
     B, T = tokens.shape
     compute_dtype = jnp.dtype(config.compute_dtype)
@@ -236,7 +249,15 @@ def forward(
 
     write_pos = None
     causal = False
-    if input_pos is None:
+    if slot_pos is not None:
+        assert T == 1, "slot_pos decode is single-token per slot"
+        S = kv_cache["k"].shape[3]
+        pos = jnp.clip(slot_pos, 0, config.block_size - 1)
+        rope = jnp.take(rope_cache, pos, axis=0)[:, None]  # (B, 1, hs/2, 2)
+        key_slots = jnp.arange(S)
+        mask = (key_slots[None, :] <= slot_pos[:, None])[:, None, None, :]
+        write_pos = slot_pos
+    elif input_pos is None:
         rope = jax.lax.slice_in_dim(rope_cache, 0, T, axis=0)
         mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
         causal = True

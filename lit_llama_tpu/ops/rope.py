@@ -39,7 +39,10 @@ def apply_rope(x: jnp.ndarray, rope_cache: jnp.ndarray) -> jnp.ndarray:
     """
     B, T, H, hs = x.shape
     xs = x.astype(jnp.float32).reshape(B, T, H, hs // 2, 2)
-    rc = rope_cache.astype(jnp.float32).reshape(1, T, 1, hs // 2, 2)
+    if rope_cache.ndim == 4:  # per-batch positions: (B, T, hs/2, 2)
+        rc = rope_cache.astype(jnp.float32).reshape(B, T, 1, hs // 2, 2)
+    else:
+        rc = rope_cache.astype(jnp.float32).reshape(1, T, 1, hs // 2, 2)
     cos, sin = rc[..., 0], rc[..., 1]
     x1, x2 = xs[..., 0], xs[..., 1]
     out = jnp.stack([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
