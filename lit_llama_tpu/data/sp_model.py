@@ -173,6 +173,13 @@ class SPModel:
     # -- encoding -----------------------------------------------------------
 
     def encode(self, text: str) -> List[int]:
+        enc = self._native()
+        if enc is not None:
+            return enc.encode(text)
+        return self.encode_py(text)
+
+    def encode_py(self, text: str) -> List[int]:
+        """Pure-Python reference path (the C++ encoder is tested against it)."""
         s = self._normalize(text)
         if not s:
             return []
@@ -181,6 +188,21 @@ class SPModel:
         else:
             symbols = self._viterbi(s)
         return self._resolve(symbols)
+
+    def _native(self):
+        """Lazily build/bind the C++ encoder; None when no toolchain."""
+        if not hasattr(self, "_native_enc"):
+            self._native_enc = None
+            import os
+
+            if not os.environ.get("LIT_LLAMA_TPU_NO_NATIVE"):
+                try:
+                    from lit_llama_tpu.native.tokenizer import NativeEncoder
+
+                    self._native_enc = NativeEncoder(self)
+                except Exception:
+                    self._native_enc = None
+        return self._native_enc
 
     def _bpe(self, s: str) -> List[str]:
         """Score-ordered pair merging: repeatedly merge the adjacent pair whose
