@@ -34,6 +34,9 @@ def make_mesh(
     laid out innermost so tensor-parallel collectives ride the fastest ICI links.
     """
     if devices is None:
+        from lit_llama_tpu.parallel.launch import maybe_initialize_distributed
+
+        maybe_initialize_distributed()
         devices = jax.devices()
     n = len(devices)
     if data == -1:
