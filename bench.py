@@ -100,6 +100,7 @@ def main() -> None:
     params = jax.jit(random_int4_params, static_argnums=0)(
         config, jax.random.PRNGKey(0)
     )
+    params = llama.unstack_layers(params)
     jax.block_until_ready(params)
 
     prompt = jnp.arange(8, dtype=jnp.int32) + 1

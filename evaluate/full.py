@@ -69,6 +69,9 @@ def main(
     from lit_llama_tpu.utils.loader import load_model
 
     params, config = load_model(Path(checkpoint_path), quantize, model_size)
+    from lit_llama_tpu.models.llama import unstack_layers
+
+    params = unstack_layers(params)
     tokenizer = Tokenizer(tokenizer_path)
     tokens = load_eval_tokens(datasets, data_file, tokenizer)
     ppl = perplexity(params, tokens, config, block_size=block_size, max_windows=max_windows)

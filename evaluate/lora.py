@@ -54,6 +54,9 @@ def main(
     r = int(lora_params["h"]["attn"]["c_attn"]["lora_b"].shape[-2])
     config = config.replace(lora=LoRAConfig(r=r, alpha=lora_alpha, dropout=0.0))
     params = lora_mod.load_lora_state(params, lora_params)
+    from lit_llama_tpu.models.llama import unstack_layers
+
+    params = unstack_layers(params)
 
     tokenizer = Tokenizer(tokenizer_path)
     tokens = _full.load_eval_tokens(datasets, data_file, tokenizer)

@@ -55,6 +55,9 @@ def main(
     print("Loading model ...", file=sys.stderr)
     t0 = time.time()
     params, config = load_model(checkpoint_path, quantize, model_size)
+    from lit_llama_tpu.models.llama import unstack_layers
+
+    params = unstack_layers(params)
     print(f"Time to load model: {time.time() - t0:.02f} seconds.", file=sys.stderr)
 
     tokenizer = Tokenizer(tokenizer_path)

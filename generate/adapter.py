@@ -53,6 +53,9 @@ def main(
     tree = ckpt.load_checkpoint(Path(adapter_path), transform=lambda n, a: jnp.asarray(a))
     state = tree["params"] if "params" in tree else tree
     params = adapter_mod.load_adapter_state(params, state)
+    from lit_llama_tpu.models.llama import unstack_layers
+
+    params = unstack_layers(params)
 
     tokenizer = Tokenizer(tokenizer_path)
     full_prompt = sft.generate_prompt({"instruction": prompt, "input": input})

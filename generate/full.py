@@ -46,6 +46,9 @@ def main(
     from lit_llama_tpu.utils.loader import load_model
 
     params, config = load_model(Path(checkpoint_path), quantize, model_size)
+    from lit_llama_tpu.models.llama import unstack_layers
+
+    params = unstack_layers(params)
     tokenizer = Tokenizer(tokenizer_path)
     if instruction_tuning:
         prompt = sft.generate_prompt({"instruction": prompt, "input": ""})

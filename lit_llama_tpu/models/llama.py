@@ -286,7 +286,29 @@ def forward(
 
     layer_params = params["h"]
 
-    if kv_cache is None:
+    if isinstance(layer_params, (list, tuple)):
+        # Unstacked layers (see unstack_layers): Python-unrolled loop with
+        # static per-layer weights. This is the inference layout — under scan,
+        # XLA materializes a copy of every layer's weights to feed the Pallas
+        # custom calls (dynamic-slice of the stacked array), which costs ~as
+        # much time as the matmuls themselves in weight-bound decode. Unrolled,
+        # each weight is its own buffer and streams HBM->VMEM exactly once.
+        if kv_cache is None:
+            blk = _block
+            if remat:
+                blk = jax.checkpoint(_block, static_argnums=(4, 7))
+            for lp in layer_params:
+                x, _ = blk(lp, x, rope, mask, config, None, None, causal)
+            new_cache = None
+        else:
+            ks, vs = [], []
+            for l, lp in enumerate(layer_params):
+                kv_l = jax.tree_util.tree_map(lambda c: c[l], kv_cache)
+                x, new_kv_l = _block(lp, x, rope, mask, config, kv_l, write_pos, causal)
+                ks.append(new_kv_l["k"])
+                vs.append(new_kv_l["v"])
+            new_cache = {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+    elif kv_cache is None:
 
         def body(h, lp):
             h, _ = _block(lp, h, rope, mask, config, None, None, causal)
@@ -308,6 +330,37 @@ def forward(
     x = rms_norm(x, params["ln_f"])
     logits = linear(params["lm_head"], x)
     return logits, new_cache
+
+
+def unstack_layers(params: Params) -> Params:
+    """Convert the stacked (L, ...) layer pytree into a tuple of per-layer trees.
+
+    Inference layout: ``forward`` unrolls the layer loop over it so each layer's
+    weights feed the Pallas kernels as their own buffers (no per-step
+    dynamic-slice copies — see the comment in ``forward``). Training keeps the
+    stacked layout (one traced block under ``lax.scan`` + uniform shardings).
+
+    The one-time eager slicing here costs one pass over the weights at load.
+    """
+    if isinstance(params.get("h"), (list, tuple)):
+        return params
+    h = params["h"]
+    L = jax.tree_util.tree_leaves(h)[0].shape[0]
+    out = dict(params)
+    out["h"] = tuple(
+        jax.tree_util.tree_map(lambda a: a[l], h) for l in range(L)
+    )
+    return out
+
+
+def stack_layers(params: Params) -> Params:
+    """Inverse of :func:`unstack_layers` (for saving inference-tuned params)."""
+    h = params.get("h")
+    if not isinstance(h, (list, tuple)):
+        return params
+    out = dict(params)
+    out["h"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *h)
+    return out
 
 
 # ---------------------------------------------------------------------------

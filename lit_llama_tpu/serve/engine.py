@@ -12,12 +12,14 @@ All device work is two compiled programs:
   positions past the true length hold garbage that is masked until each is
   overwritten by the decode step that reaches it.
 * ``step``: one fused decode step for ALL slots — per-slot positions via
-  ``slot_pos``, per-slot sampling keys, inactive slots compute but are ignored
-  (branchless; a slot's output is discarded on the host).
+  ``slot_pos``, per-slot sampling (temperature vector; greedy where 0) with
+  per-slot PRNG keys, ONE host sync per step for the sampled tokens. Inactive
+  slots compute but are ignored on the host (branchless).
 
-The host-side scheduler is plain Python: admit-from-queue, step, harvest.
-Multi-host scaling composes with the mesh exactly like generate: shard the
-batch axis over ``data`` and heads over ``model``.
+``top_k`` is engine-wide (a static compile constant); temperature is
+per-request. The host-side scheduler is plain Python: admit-from-queue, step,
+harvest. Multi-host scaling composes with the mesh exactly like generate:
+shard the batch axis over ``data`` and heads over ``model``.
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ import functools
 import itertools
 import time
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +36,6 @@ import numpy as np
 
 from lit_llama_tpu.models import llama
 from lit_llama_tpu.models.config import LLaMAConfig
-from lit_llama_tpu.models.generate import sample_logits
 from lit_llama_tpu.ops.rope import build_rope_cache
 
 
@@ -44,7 +45,6 @@ class Request:
     prompt: np.ndarray
     max_new_tokens: int
     temperature: float = 0.0
-    top_k: Optional[int] = None
     eos_id: Optional[int] = None
     # filled by the engine
     generated: List[int] = field(default_factory=list)
@@ -64,6 +64,17 @@ def _bucket(n: int, buckets) -> int:
     return buckets[-1]
 
 
+def _sample_rows(logits, keys, temps, top_k):
+    """Vectorized per-slot sampling: greedy where temperature == 0."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+    if top_k is not None:
+        kth = jax.lax.top_k(scaled, top_k)[0][..., -1:]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    sampled = jax.vmap(jax.random.categorical)(keys, scaled).astype(jnp.int32)
+    return jnp.where(temps == 0.0, greedy, sampled)
+
+
 class DecodeEngine:
     def __init__(
         self,
@@ -71,19 +82,24 @@ class DecodeEngine:
         config: LLaMAConfig,
         max_batch: int = 8,
         max_seq_length: Optional[int] = None,
+        top_k: Optional[int] = 200,
         prefill_buckets=(32, 64, 128, 256, 512, 1024, 2048),
+        seed: int = 0,
     ):
-        self.params = params
+        # inference layout: unrolled layers, no per-step weight-slice copies
+        self.params = llama.unstack_layers(params)
         self.config = config
         self.B = max_batch
         self.S = min(max_seq_length or config.block_size, config.block_size)
+        self.top_k = None if top_k is None else min(top_k, config.padded_vocab_size)
         self.buckets = tuple(b for b in prefill_buckets if b <= self.S) or (self.S,)
         dtype = jnp.dtype(config.compute_dtype)
         self.rope = build_rope_cache(config.block_size, config.head_size)
         self.cache = llama.init_kv_cache(config, self.B, self.S, dtype)
-        self.slot_pos = jnp.zeros((self.B,), jnp.int32)
-        self.last_tok = jnp.zeros((self.B, 1), jnp.int32)
-        self.key = jax.random.PRNGKey(0)
+        self.slot_pos = np.zeros((self.B,), np.int32)
+        self.last_tok = np.zeros((self.B,), np.int32)
+        self.temps = np.zeros((self.B,), np.float32)
+        self.key = jax.random.PRNGKey(seed)
         # host-side state
         self.slot_req: List[Optional[Request]] = [None] * self.B
         self.queue: List[Request] = []
@@ -91,11 +107,13 @@ class DecodeEngine:
         self._ids = itertools.count()
 
         cfg = config
+        rope = self.rope
+        top_k_static = self.top_k
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def prefill(cache, params, tokens, slot, true_len):
-            """tokens: (1, T_bucket). Writes slot's cache rows [0, T) and returns
-            the logits at the last real prompt position."""
+        def prefill(cache, params, tokens, slot, true_len, temp, key):
+            """tokens: (1, T_bucket). Writes slot's cache rows [0, T) and
+            samples the first generated token from the last real position."""
             T = tokens.shape[1]
             slot_cache = jax.tree_util.tree_map(
                 lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=1), cache
@@ -104,7 +122,7 @@ class DecodeEngine:
                 params,
                 tokens,
                 cfg,
-                rope_cache=self.rope,
+                rope_cache=rope,
                 input_pos=jnp.arange(T),
                 kv_cache=slot_cache,
             )
@@ -114,19 +132,26 @@ class DecodeEngine:
                 slot_cache,
             )
             last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1, keepdims=False)
-            return cache, last.astype(jnp.float32)
+            tok = _sample_rows(
+                last[None].astype(jnp.float32), key[None], temp[None], top_k_static
+            )[0]
+            return cache, tok
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def step(cache, params, tokens, slot_pos):
+        def step(cache, params, tokens, slot_pos, temps, key):
             logits, cache = llama.forward(
                 params,
-                tokens,
+                tokens[:, None],
                 cfg,
-                rope_cache=self.rope,
+                rope_cache=rope,
                 slot_pos=slot_pos,
                 kv_cache=cache,
             )
-            return cache, logits[:, -1].astype(jnp.float32)
+            keys = jax.random.split(key, tokens.shape[0])
+            toks = _sample_rows(
+                logits[:, -1].astype(jnp.float32), keys, temps, top_k_static
+            )
+            return cache, toks
 
         self._prefill = prefill
         self._step = step
@@ -138,15 +163,13 @@ class DecodeEngine:
         prompt: np.ndarray,
         max_new_tokens: int,
         temperature: float = 0.0,
-        top_k: Optional[int] = None,
+        top_k: Optional[int] = None,  # accepted for API parity; engine-wide value applies
         eos_id: Optional[int] = None,
     ) -> int:
         prompt = np.asarray(prompt, np.int32)
         if len(prompt) >= self.S:
             prompt = prompt[-(self.S - 1) :]
-        req = Request(
-            next(self._ids), prompt, max_new_tokens, temperature, top_k, eos_id
-        )
+        req = Request(next(self._ids), prompt, max_new_tokens, temperature, eos_id)
         self.queue.append(req)
         return req.id
 
@@ -163,10 +186,16 @@ class DecodeEngine:
         self._admit()
         if self.n_active == 0:
             return []
-        self.cache, logits = self._step(
-            self.cache, self.params, self.last_tok, self.slot_pos
+        self.key, sub = jax.random.split(self.key)
+        self.cache, toks = self._step(
+            self.cache,
+            self.params,
+            jnp.asarray(self.last_tok),
+            jnp.asarray(self.slot_pos),
+            jnp.asarray(self.temps),
+            sub,
         )
-        return self._harvest(logits)
+        return self._harvest(np.asarray(toks))
 
     def run(self) -> Dict[int, Request]:
         """Drain queue + active slots to completion."""
@@ -188,37 +217,36 @@ class DecodeEngine:
             Tb = _bucket(T, self.buckets)
             padded = np.zeros((1, Tb), np.int32)
             padded[0, :T] = req.prompt
-            self.cache, last_logits = self._prefill(
+            self.key, sub = jax.random.split(self.key)
+            self.cache, tok = self._prefill(
                 self.cache,
                 self.params,
                 jnp.asarray(padded),
                 jnp.int32(b),
                 jnp.int32(T),
+                jnp.float32(req.temperature),
+                sub,
             )
-            tok = self._sample_one(last_logits, req)
+            tok = int(tok)
             req.first_token_t = time.perf_counter()
-            req.generated.append(int(tok))
+            req.generated.append(tok)
             self.slot_req[b] = req
-            self.slot_pos = self.slot_pos.at[b].set(T)
-            self.last_tok = self.last_tok.at[b, 0].set(tok)
+            self.slot_pos[b] = T
+            self.last_tok[b] = tok
+            self.temps[b] = req.temperature
             if self._finished(req):
                 self._retire(b)
 
-    def _sample_one(self, logits, req: Request):
-        self.key, sub = jax.random.split(self.key)
-        return sample_logits(logits, sub, req.temperature, req.top_k)
-
-    def _harvest(self, logits) -> List[Request]:
+    def _harvest(self, toks: np.ndarray) -> List[Request]:
         done: List[Request] = []
-        logits_np = None
         for b, req in enumerate(self.slot_req):
             if req is None:
                 continue
-            tok = self._sample_one(logits[b], req)
-            req.generated.append(int(tok))
-            self.slot_pos = self.slot_pos.at[b].add(1)
-            self.last_tok = self.last_tok.at[b, 0].set(tok)
-            if self._finished(req) or int(self.slot_pos[b]) >= self.S - 1:
+            tok = int(toks[b])
+            req.generated.append(tok)
+            self.slot_pos[b] += 1
+            self.last_tok[b] = tok
+            if self._finished(req) or self.slot_pos[b] >= self.S - 1:
                 done.append(req)
                 self._retire(b)
         return done
@@ -233,4 +261,5 @@ class DecodeEngine:
         req.done_t = time.perf_counter()
         self.finished[req.id] = req
         self.slot_req[b] = None
-        self.slot_pos = self.slot_pos.at[b].set(0)
+        self.slot_pos[b] = 0
+        self.temps[b] = 0.0

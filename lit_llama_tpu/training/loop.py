@@ -124,6 +124,17 @@ def train(
 ) -> step_lib.TrainState:
     out_dir = Path(loop.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    metrics_path = out_dir / "metrics.jsonl"
+
+    if log_fn is None:
+        # rank-0 stderr + append to metrics.jsonl (the reference's
+        # fabric.print + fabric.log_dict, pretrain/redpajama.py:199-207)
+        def log_fn(rec):
+            _default_log(rec)
+            if jax.process_index() == 0:
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+
     start_iter = int(state.step)
     t_last = time.perf_counter()
     for it in range(start_iter, loop.max_iters):

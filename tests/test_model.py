@@ -167,3 +167,38 @@ def test_init_params_shapes_and_std():
     # init std = 0.02/sqrt(2*n_layer) (reference: lit_llama/model.py:70-74)
     std = np.std(np.asarray(params["h"]["attn"]["c_attn"]["w"]))
     assert abs(std - 0.02 / np.sqrt(6)) < 2e-3
+
+
+def test_unstacked_layers_match_stacked(tiny_config):
+    """Inference layout (unrolled per-layer params) computes identically to the
+    stacked/scan layout, with and without kv cache."""
+    import jax
+    import jax.numpy as jnp
+
+    from lit_llama_tpu.models import llama
+
+    params = init_params(tiny_config, jax.random.PRNGKey(3))
+    tokens = jnp.arange(10, dtype=jnp.int32).reshape(1, 10) % 128
+    ref, _ = forward(params, tokens, tiny_config)
+    up = llama.unstack_layers(params)
+    got, _ = forward(up, tokens, tiny_config)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+    cache_s = init_kv_cache(tiny_config, 1, 10)
+    ref_d, cache_s = forward(
+        params, tokens[:, :4], tiny_config, input_pos=jnp.arange(4), kv_cache=cache_s
+    )
+    cache_u = init_kv_cache(tiny_config, 1, 10)
+    got_d, cache_u = forward(
+        up, tokens[:, :4], tiny_config, input_pos=jnp.arange(4), kv_cache=cache_u
+    )
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(cache_u["k"]), np.asarray(cache_s["k"]), atol=1e-6
+    )
+    # round-trip
+    rs = llama.stack_layers(up)
+    np.testing.assert_allclose(
+        np.asarray(rs["h"]["attn"]["c_attn"]["w"]),
+        np.asarray(params["h"]["attn"]["c_attn"]["w"]),
+    )
