@@ -27,6 +27,7 @@ def main(
     max_seq_length: int = 256,
     data_parallel: int = -1,
     model_parallel: int = 1,
+    group_by_length: bool = False,
 ) -> None:
     """Finetune LLaMA with the Adapter v2 method.
 
@@ -48,6 +49,7 @@ def main(
         max_seq_length: Truncation length (see prepare_alpaca.py).
         data_parallel: Mesh data-axis size (-1 = all devices / model_parallel).
         model_parallel: Mesh model-axis (tensor parallel) size.
+        group_by_length: Batch near-equal-length samples to minimize padding.
     """
     from lit_llama_tpu.training import finetune
 
@@ -70,6 +72,7 @@ def main(
         max_seq_length=max_seq_length,
         data_parallel=data_parallel,
         model_parallel=model_parallel,
+        group_by_length=group_by_length,
     )
 
 

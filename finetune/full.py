@@ -25,6 +25,7 @@ def main(
     max_seq_length: int = 512,
     data_parallel: int = -1,
     model_parallel: int = 1,
+    group_by_length: bool = False,
 ) -> None:
     """Finetune all LLaMA weights on an instruction dataset.
 
@@ -45,6 +46,7 @@ def main(
         max_seq_length: Truncation length (reference block_size: 512).
         data_parallel: Mesh data-axis size (-1 = all devices / model_parallel).
         model_parallel: Mesh model-axis (tensor parallel) size.
+        group_by_length: Batch near-equal-length samples to minimize padding.
     """
     from lit_llama_tpu.training import finetune
 
@@ -67,6 +69,7 @@ def main(
         max_seq_length=max_seq_length,
         data_parallel=data_parallel,
         model_parallel=model_parallel,
+        group_by_length=group_by_length,
     )
 
 

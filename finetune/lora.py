@@ -28,6 +28,7 @@ def main(
     lora_dropout: float = 0.05,
     data_parallel: int = -1,
     model_parallel: int = 1,
+    group_by_length: bool = False,
 ) -> None:
     """Finetune LLaMA with LoRA on an instruction dataset.
 
@@ -51,6 +52,7 @@ def main(
         lora_dropout: LoRA input dropout (reference: 0.05).
         data_parallel: Mesh data-axis size (-1 = all devices / model_parallel).
         model_parallel: Mesh model-axis (tensor parallel) size.
+        group_by_length: Batch near-equal-length samples to minimize padding.
     """
     from lit_llama_tpu.training import finetune
 
@@ -76,6 +78,7 @@ def main(
         lora_dropout=lora_dropout,
         data_parallel=data_parallel,
         model_parallel=model_parallel,
+        group_by_length=group_by_length,
     )
 
 

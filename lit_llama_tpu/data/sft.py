@@ -118,6 +118,7 @@ def get_batch(
     accum_steps: int = 1,
     pad_multiple: int = 64,
     max_seq_length: Optional[int] = None,
+    sequential: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Sample a right-padded (accum, batch, T) pair of (input_ids, labels)
     (reference: finetune/full.py:201-217; inputs pad 0, labels pad -1).
@@ -126,7 +127,8 @@ def get_batch(
     set of compiled shapes instead of one per max-length.
     """
     n = accum_steps * batch_size
-    ix = rng.integers(len(data), size=n)
+    # sequential: caller already ordered `data` (length-grouped batching)
+    ix = np.arange(n) % len(data) if sequential else rng.integers(len(data), size=n)
     input_ids = [data[i]["input_ids"] for i in ix]
     labels = [data[i]["labels"] for i in ix]
     max_len = max(len(s) for s in input_ids)

@@ -44,6 +44,18 @@ def dequantize_int8(params: Params, dtype=jnp.float32) -> jnp.ndarray:
     return (params["qw"].astype(jnp.float32) * params["qscale"]).astype(dtype)
 
 
+def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """(in, out) nibble values -> (in//2, out) packed bytes, half-split planes:
+    row i's low nibble is original row i, its high nibble row i + in//2.
+
+    Half-split (vs adjacent-pair) packing keeps the matmul's operand split free:
+    x[:, :K/2] and x[:, K/2:] are contiguous slices, whereas the even/odd split
+    an interleaved layout needs lowers to a lane-granularity gather on TPU
+    (measured ~40us per operand — as long as the matmul itself)."""
+    in_f = q.shape[0]
+    return (q[: in_f // 2] | (q[in_f // 2 :] << 4)).astype(jnp.uint8)
+
+
 def quantize_int4(w: jnp.ndarray, groupsize: int = 128) -> Params:
     """Asymmetric group quantization to 4 bits, packed 2 nibbles/byte along ``in``.
 
@@ -61,10 +73,8 @@ def quantize_int4(w: jnp.ndarray, groupsize: int = 128) -> Params:
     scale = jnp.maximum((wmax - wmin) / 15.0, 1e-12)
     q = jnp.clip(jnp.round((w32 - wmin) / scale), 0, 15).astype(jnp.uint8)
     q = q.reshape(in_f, out_f)
-    # Pack adjacent input rows: byte = low | high<<4  (row 2i -> low nibble).
-    packed = (q[0::2] | (q[1::2] << 4)).astype(jnp.uint8)
     return {
-        "qw": packed,
+        "qw": pack_int4(q),
         "qscale": scale[:, 0, :],  # (n_groups, out)
         "qzero": wmin[:, 0, :],  # (n_groups, out)
     }
@@ -72,11 +82,7 @@ def quantize_int4(w: jnp.ndarray, groupsize: int = 128) -> Params:
 
 def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
     """(in//2, out) packed bytes -> (in, out) uint8 nibble values in [0, 15]."""
-    low = packed & 0xF
-    high = packed >> 4
-    # Interleave back: rows 2i from low, 2i+1 from high.
-    in_half, out_f = packed.shape
-    return jnp.stack([low, high], axis=1).reshape(in_half * 2, out_f)
+    return jnp.concatenate([packed & 0xF, packed >> 4], axis=0)
 
 
 def dequantize_int4(params: Params, dtype=jnp.float32) -> jnp.ndarray:

@@ -109,14 +109,13 @@ def matmul_int8(
     )(x2, qw, qscale.astype(jnp.float32))
     return out[:M].reshape(*lead, N)
 
-
 # ---------------------------------------------------------------------------
-# int4: out = x_even @ dq(low) + x_odd @ dq(high)  [+ group-sums @ zeros, outside]
+# int4: out = x_lo @ dq(low) + x_hi @ dq(high)  [+ group-sums @ zeros, outside]
 # ---------------------------------------------------------------------------
 
 
 def _int4_kernel(
-    xe_ref, xo_ref, qw_ref, qs_ref, o_ref, acc_ref, *, groups_per_block, gs_half
+    xlo_ref, xhi_ref, qw_ref, qslo_ref, qshi_ref, o_ref, acc_ref, *, groups_per_block, gs
 ):
     kk = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -125,24 +124,23 @@ def _int4_kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    dtype = xe_ref.dtype
+    dtype = xlo_ref.dtype
     acc = acc_ref[:]
     for g in range(groups_per_block):
-        packed = qw_ref[pl.ds(g * gs_half, gs_half), :]  # (gs_half, block_n) u8
-        s = qs_ref[g : g + 1, :]  # (1, block_n) f32
+        packed = qw_ref[pl.ds(g * gs, gs), :]  # (gs, block_n) u8
         # Mosaic supports neither uint8->float casts nor i8 vector shifts;
         # widen to int32 before the nibble extraction
         p32 = packed.astype(jnp.int32)
-        low = ((p32 & 0xF).astype(jnp.float32) * s).astype(dtype)
-        high = ((p32 >> 4).astype(jnp.float32) * s).astype(dtype)
-        xe = xe_ref[pl.ds(g * gs_half, gs_half), :]  # (gs_half, block_m)
-        xo = xo_ref[pl.ds(g * gs_half, gs_half), :]
+        low = ((p32 & 0xF).astype(jnp.float32) * qslo_ref[g : g + 1, :]).astype(dtype)
+        high = ((p32 >> 4).astype(jnp.float32) * qshi_ref[g : g + 1, :]).astype(dtype)
+        xlo = xlo_ref[pl.ds(g * gs, gs), :]  # (gs, block_m)
+        xhi = xhi_ref[pl.ds(g * gs, gs), :]
         # contract over sublanes of both operands: (bm, bn)
         acc += jax.lax.dot_general(
-            xe, low, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            xlo, low, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         acc += jax.lax.dot_general(
-            xo, high, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            xhi, high, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
     acc_ref[:] = acc
 
@@ -154,7 +152,7 @@ def _int4_kernel(
 @functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
 def matmul_int4(
     x: jnp.ndarray,
-    qw: jnp.ndarray,  # (K//2, N) uint8, row 2i -> low nibble
+    qw: jnp.ndarray,  # (K//2, N) uint8, half-split planes (ops/linear.pack_int4)
     qscale: jnp.ndarray,  # (K//gs, N) f32
     qzero: jnp.ndarray,  # (K//gs, N) f32
     compute_dtype=jnp.bfloat16,
@@ -165,33 +163,44 @@ def matmul_int4(
     K = Kh * 2
     n_groups = qscale.shape[0]
     gs = K // n_groups
-    gs_half = gs // 2
 
     x2 = x.reshape(-1, K).astype(compute_dtype)
     M = x2.shape[0]
-    # even/odd columns, transposed to (K/2, M): both kernel operands are then
-    # sliced on sublanes by group
-    xe = x2[:, 0::2].T
-    xo = x2[:, 1::2].T
+    # Half-split packing makes the operand split two contiguous column slices —
+    # an interleaved even/odd split lowers to a lane-granularity gather on TPU
+    # that costs as much as the matmul itself.
+    xlo = x2[:, :Kh].T  # (K/2, M)
+    xhi = x2[:, Kh:].T
     block_m = min(_round_up(M, 8), 256)
     Mp = _round_up(M, block_m)
     if Mp != M:
-        xe = jnp.pad(xe, ((0, 0), (0, Mp - M)))
-        xo = jnp.pad(xo, ((0, 0), (0, Mp - M)))
+        xlo = jnp.pad(xlo, ((0, 0), (0, Mp - M)))
+        xhi = jnp.pad(xhi, ((0, 0), (0, Mp - M)))
 
-    # Mosaic block rule: the scale block's sublane dim (groups_per_block) must be
-    # a multiple of 8 or the full n_groups. Prefer the largest conforming divisor
-    # that keeps the packed block <= 1024 sublanes; else take K untiled.
-    groups_per_block = n_groups
-    for d in range(min(n_groups, 1024 // gs_half), 0, -1):
-        if n_groups % d == 0 and d % 8 == 0:
+    # Per-plane scales: low nibbles hold original rows [0, K/2) -> groups
+    # [0, n_groups/2); high nibbles the rest.
+    qs = qscale.astype(jnp.float32)
+    if n_groups == 1:
+        qslo = qshi = qs
+        n_half, gs_packed = 1, Kh
+    else:
+        n_half = n_groups // 2
+        gs_packed = gs
+        qslo, qshi = qs[:n_half], qs[n_half:]
+
+    # Mosaic block rule: the scale block's sublane dim (groups_per_block) must
+    # be a multiple of 8 or the full n_half. Prefer the largest conforming
+    # divisor that keeps the packed block <= 1024 sublanes; else take K untiled.
+    groups_per_block = n_half
+    for d in range(min(n_half, 1024 // gs_packed), 0, -1):
+        if n_half % d == 0 and d % 8 == 0:
             groups_per_block = d
             break
-    block_kh = groups_per_block * gs_half
+    block_kh = groups_per_block * gs_packed
     block_n = min(N, 512)
 
     kernel = functools.partial(
-        _int4_kernel, groups_per_block=groups_per_block, gs_half=gs_half
+        _int4_kernel, groups_per_block=groups_per_block, gs=gs_packed
     )
     out = pl.pallas_call(
         kernel,
@@ -212,6 +221,11 @@ def matmul_int4(
                 lambda m, n, k: (k, n),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (groups_per_block, block_n),
+                lambda m, n, k: (k, n),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (block_m, block_n), lambda m, n, k: (m, n), memory_space=pltpu.VMEM
@@ -223,7 +237,7 @@ def matmul_int4(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xe, xo, qw, qscale.astype(jnp.float32))
+    )(xlo, xhi, qw, qslo, qshi)
 
     # zero-point term: sum_{k in g} x_k * z_g(n) == group-sums(x) @ zeros
     gx = x2.astype(jnp.float32).reshape(M, n_groups, gs).sum(-1)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from lit_llama_tpu.models import llama
 from lit_llama_tpu.models.config import LLaMAConfig
-from lit_llama_tpu.ops.linear import linear
+from lit_llama_tpu.ops.linear import linear, pack_int4
 from lit_llama_tpu.ops.norm import rms_norm
 from lit_llama_tpu.ops.rope import apply_rope, build_rope_cache
 
@@ -148,7 +148,7 @@ def gptq_quantize_matrix(
 def pack_q4(q: jnp.ndarray) -> jnp.ndarray:
     """(in, out) int levels -> (in//2, out) packed bytes (row 2i -> low nibble),
     the layout ops/linear.py:quantize_int4 defines."""
-    return (q[0::2] | (q[1::2] << 4)).astype(jnp.uint8)
+    return pack_int4(q)
 
 
 # ---------------------------------------------------------------------------

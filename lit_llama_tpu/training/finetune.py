@@ -55,6 +55,7 @@ def run(
     data_parallel: int = -1,
     model_parallel: int = 1,
     seed: int = 1337,
+    group_by_length: bool = False,
 ) -> None:
     assert mode in MODES, mode
     out_dir = Path(out_dir)
@@ -116,11 +117,32 @@ def run(
     accum = max(1, batch_size // micro_batch_size)
     rng = np.random.default_rng(seed)
 
-    def batches():
-        while True:
-            yield sft.get_batch(
-                train_data, micro_batch_size, rng, accum, max_seq_length=max_seq_length
-            )
+    if group_by_length:
+        # near-equal-length batches minimize padding waste (reference:
+        # LengthGroupedSampler, finetune/length_grouped_sampler.py:26-101)
+        lengths = [len(s["input_ids"]) for s in train_data]
+
+        def batches():
+            while True:
+                order = sft.length_grouped_indices(lengths, micro_batch_size, rng)
+                for i in range(0, len(order) - accum * micro_batch_size + 1, accum * micro_batch_size):
+                    chunk = [train_data[j] for j in order[i : i + accum * micro_batch_size]]
+                    yield sft.get_batch(
+                        chunk,
+                        micro_batch_size,
+                        np.random.default_rng(0),
+                        accum,
+                        max_seq_length=max_seq_length,
+                        sequential=True,
+                    )
+
+    else:
+
+        def batches():
+            while True:
+                yield sft.get_batch(
+                    train_data, micro_batch_size, rng, accum, max_seq_length=max_seq_length
+                )
 
     val_rng = np.random.default_rng(seed + 1)
 
