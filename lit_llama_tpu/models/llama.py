@@ -127,6 +127,7 @@ def _block(
     kv: Optional[KVCache],
     write_pos: Optional[jnp.ndarray],
     causal: bool,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """One pre-norm residual block (reference: lit_llama/model.py:148-168)."""
     h, new_kv = _causal_self_attention(
@@ -139,9 +140,10 @@ def _block(
         write_pos,
         causal,
         layer_params,
+        tp_axis,
     )
     x = x + h
-    x = x + _mlp(layer_params["mlp"], rms_norm(x, layer_params["rms_2"]))
+    x = x + _mlp(layer_params["mlp"], rms_norm(x, layer_params["rms_2"]), tp_axis)
     return x, new_kv
 
 
@@ -155,12 +157,19 @@ def _causal_self_attention(
     write_pos: Optional[jnp.ndarray],
     causal: bool,
     layer_params: Params,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
-    """Fused-QKV attention (reference: lit_llama/model.py:171-237)."""
+    """Fused-QKV attention (reference: lit_llama/model.py:171-237).
+
+    Under ``tp_axis`` (inside shard_map, Megatron-style tensor parallelism) this
+    runs on the local head shard: qkv is (B, T, 3*D/mp), the head count derives
+    from the tensor width, and the output projection's partial sum is psum'd.
+    """
     B, T, C = x.shape
-    H, hs = config.n_head, config.head_size
+    hs = config.head_size
 
     qkv = linear(attn_params["c_attn"], x)
+    H = qkv.shape[-1] // 3 // hs  # n_head, or the local shard of heads under TP
     if "lora_a" in attn_params["c_attn"]:
         from lit_llama_tpu.peft import lora as lora_mod
 
@@ -203,16 +212,25 @@ def _causal_self_attention(
             layer_params, q, y, config, new_kv, write_pos
         )
 
-    y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
-    return linear(attn_params["c_proj"], y), new_kv
+    y = y.transpose(0, 2, 1, 3).reshape(B, T, H * hs)
+    out = linear(attn_params["c_proj"], y)
+    if tp_axis is not None:
+        out = jax.lax.psum(out, tp_axis)
+    return out, new_kv
 
 
-def _mlp(mlp_params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """SwiGLU (reference: lit_llama/model.py:240-254)."""
-    return linear(
+def _mlp(
+    mlp_params: Params, x: jnp.ndarray, tp_axis: Optional[str] = None
+) -> jnp.ndarray:
+    """SwiGLU (reference: lit_llama/model.py:240-254). Under ``tp_axis`` the
+    hidden dim is sharded and the down-projection's partial sum is psum'd."""
+    out = linear(
         mlp_params["c_proj"],
         jax.nn.silu(linear(mlp_params["c_fc1"], x)) * linear(mlp_params["c_fc2"], x),
     )
+    if tp_axis is not None:
+        out = jax.lax.psum(out, tp_axis)
+    return out
 
 
 def forward(
@@ -225,6 +243,7 @@ def forward(
     slot_pos: Optional[jnp.ndarray] = None,
     kv_cache: Optional[KVCache] = None,
     remat: bool = False,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the model.
 
@@ -239,7 +258,16 @@ def forward(
     With ``slot_pos`` (shape (B,)) and ``kv_cache``: continuous-batching decode —
     each batch slot is an independent sequence writing its single new token at its
     own position (beyond the reference, north-star scope: BASELINE.json config #5).
+
+    With ``tp_axis`` (inside ``shard_map``): Megatron-style tensor parallelism —
+    params hold this device's shard of heads / MLP hidden / vocab columns
+    (parallel/tp.py lays them out), activations are replicated, one psum after
+    each block's two projections, and the vocab-sharded logits are all-gathered
+    at the end. wte and the norms must be replicated; LoRA/adapter overlays are
+    not supported under this path.
     """
+    if tp_axis is not None and (config.lora is not None or config.adapter is not None):
+        raise NotImplementedError("PEFT overlays are not supported under shard_map TP")
     B, T = tokens.shape
     compute_dtype = jnp.dtype(config.compute_dtype)
     if rope_cache is None:
@@ -298,20 +326,22 @@ def forward(
             if remat:
                 blk = jax.checkpoint(_block, static_argnums=(4, 7))
             for lp in layer_params:
-                x, _ = blk(lp, x, rope, mask, config, None, None, causal)
+                x, _ = blk(lp, x, rope, mask, config, None, None, causal, tp_axis)
             new_cache = None
         else:
             ks, vs = [], []
             for l, lp in enumerate(layer_params):
                 kv_l = jax.tree_util.tree_map(lambda c: c[l], kv_cache)
-                x, new_kv_l = _block(lp, x, rope, mask, config, kv_l, write_pos, causal)
+                x, new_kv_l = _block(
+                    lp, x, rope, mask, config, kv_l, write_pos, causal, tp_axis
+                )
                 ks.append(new_kv_l["k"])
                 vs.append(new_kv_l["v"])
             new_cache = {"k": jnp.stack(ks), "v": jnp.stack(vs)}
     elif kv_cache is None:
 
         def body(h, lp):
-            h, _ = _block(lp, h, rope, mask, config, None, None, causal)
+            h, _ = _block(lp, h, rope, mask, config, None, None, causal, tp_axis)
             return h, None
 
         if remat:
@@ -322,13 +352,16 @@ def forward(
 
         def body(h, inputs):
             lp, kv = inputs
-            h, new_kv = _block(lp, h, rope, mask, config, kv, write_pos, causal)
+            h, new_kv = _block(lp, h, rope, mask, config, kv, write_pos, causal, tp_axis)
             return h, new_kv
 
         x, new_cache = jax.lax.scan(body, x, (layer_params, kv_cache))
 
     x = rms_norm(x, params["ln_f"])
     logits = linear(params["lm_head"], x)
+    if tp_axis is not None:
+        # vocab-sharded lm_head -> gather the full logits row
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     return logits, new_cache
 
 

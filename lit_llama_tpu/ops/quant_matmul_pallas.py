@@ -129,19 +129,23 @@ def _int4_kernel(
     for g in range(groups_per_block):
         packed = qw_ref[pl.ds(g * gs, gs), :]  # (gs, block_n) u8
         # Mosaic supports neither uint8->float casts nor i8 vector shifts;
-        # widen to int32 before the nibble extraction
+        # widen to int32 before the nibble extraction. Nibble values 0..15 are
+        # exact in bf16, and the group scale is constant over the contraction
+        # rows, so it applies to the (bm, bn) accumulator instead of per weight
+        # element — the dequant costs ~2 VPU ops/element instead of ~5.
         p32 = packed.astype(jnp.int32)
-        low = ((p32 & 0xF).astype(jnp.float32) * qslo_ref[g : g + 1, :]).astype(dtype)
-        high = ((p32 >> 4).astype(jnp.float32) * qshi_ref[g : g + 1, :]).astype(dtype)
+        low_q = (p32 & 0xF).astype(jnp.float32).astype(dtype)
+        high_q = (p32 >> 4).astype(jnp.float32).astype(dtype)
         xlo = xlo_ref[pl.ds(g * gs, gs), :]  # (gs, block_m)
         xhi = xhi_ref[pl.ds(g * gs, gs), :]
         # contract over sublanes of both operands: (bm, bn)
-        acc += jax.lax.dot_general(
-            xlo, low, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        lo_dot = jax.lax.dot_general(
+            xlo, low_q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        acc += jax.lax.dot_general(
-            xhi, high, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        hi_dot = jax.lax.dot_general(
+            xhi, high_q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
+        acc += lo_dot * qslo_ref[g : g + 1, :] + hi_dot * qshi_ref[g : g + 1, :]
     acc_ref[:] = acc
 
     @pl.when(kk == nk - 1)
