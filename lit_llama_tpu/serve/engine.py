@@ -85,6 +85,7 @@ class DecodeEngine:
         top_k: Optional[int] = 200,
         prefill_buckets=(32, 64, 128, 256, 512, 1024, 2048),
         seed: int = 0,
+        steps_per_sync: int = 4,
     ):
         # inference layout: unrolled layers, no per-step weight-slice copies
         self.params = llama.unstack_layers(params)
@@ -92,6 +93,7 @@ class DecodeEngine:
         self.B = max_batch
         self.S = min(max_seq_length or config.block_size, config.block_size)
         self.top_k = None if top_k is None else min(top_k, config.padded_vocab_size)
+        self.steps_per_sync = max(1, steps_per_sync)
         self.buckets = tuple(b for b in prefill_buckets if b <= self.S) or (self.S,)
         dtype = jnp.dtype(config.compute_dtype)
         self.rope = build_rope_cache(config.block_size, config.head_size)
@@ -137,21 +139,35 @@ class DecodeEngine:
             )[0]
             return cache, tok
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def step(cache, params, tokens, slot_pos, temps, key):
-            logits, cache = llama.forward(
-                params,
-                tokens[:, None],
-                cfg,
-                rope_cache=rope,
-                slot_pos=slot_pos,
-                kv_cache=cache,
+        @functools.partial(
+            jax.jit, donate_argnums=(0,), static_argnames=("n_steps",)
+        )
+        def step(cache, params, tokens, slot_pos, temps, key, n_steps=1):
+            """n_steps decode steps fully on device — the host syncs once per
+            chunk instead of once per token (the per-step host round trip costs
+            more than the compute on remote-attached TPUs)."""
+
+            def body(carry, _):
+                cache, tok, pos, key = carry
+                logits, cache = llama.forward(
+                    params,
+                    tok[:, None],
+                    cfg,
+                    rope_cache=rope,
+                    slot_pos=pos,
+                    kv_cache=cache,
+                )
+                key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, tok.shape[0])
+                nxt = _sample_rows(
+                    logits[:, -1].astype(jnp.float32), keys, temps, top_k_static
+                )
+                return (cache, nxt, pos + 1, key), nxt
+
+            (cache, _, _, _), toks = jax.lax.scan(
+                body, (cache, tokens, slot_pos, key), None, length=n_steps
             )
-            keys = jax.random.split(key, tokens.shape[0])
-            toks = _sample_rows(
-                logits[:, -1].astype(jnp.float32), keys, temps, top_k_static
-            )
-            return cache, toks
+            return cache, toks  # (n_steps, B)
 
         self._prefill = prefill
         self._step = step
@@ -181,11 +197,19 @@ class DecodeEngine:
         return bool(self.queue) or self.n_active > 0
 
     def step_once(self) -> List[Request]:
-        """Admit queued requests into free slots, run one decode step for all
-        active slots, harvest finished requests. Returns newly finished."""
+        """Admit queued requests into free slots, run ``steps_per_sync`` decode
+        steps for all active slots, harvest finished requests. Returns newly
+        finished. Slots that finish mid-chunk decode garbage for the remainder
+        of the chunk (discarded; their cache is safely overwritten by the next
+        occupant's prefill + masked decode)."""
         self._admit()
         if self.n_active == 0:
             return []
+        # FIXED chunk size: n_steps is a static compile parameter, so varying it
+        # would trigger a recompile per distinct value. Overshooting a finished
+        # slot is safe (extra tokens are discarded and out-of-range cache
+        # writes are dropped), so always run the full chunk.
+        n = self.steps_per_sync
         self.key, sub = jax.random.split(self.key)
         self.cache, toks = self._step(
             self.cache,
@@ -194,6 +218,7 @@ class DecodeEngine:
             jnp.asarray(self.slot_pos),
             jnp.asarray(self.temps),
             sub,
+            n_steps=n,
         )
         return self._harvest(np.asarray(toks))
 
@@ -238,17 +263,21 @@ class DecodeEngine:
                 self._retire(b)
 
     def _harvest(self, toks: np.ndarray) -> List[Request]:
+        """toks: (n_steps, B) chunk of sampled tokens."""
+        n_steps = toks.shape[0]
         done: List[Request] = []
         for b, req in enumerate(self.slot_req):
             if req is None:
                 continue
-            tok = int(toks[b])
-            req.generated.append(tok)
-            self.slot_pos[b] += 1
-            self.last_tok[b] = tok
-            if self._finished(req) or self.slot_pos[b] >= self.S - 1:
-                done.append(req)
-                self._retire(b)
+            for s in range(n_steps):
+                tok = int(toks[s, b])
+                req.generated.append(tok)
+                self.slot_pos[b] += 1
+                self.last_tok[b] = tok
+                if self._finished(req) or self.slot_pos[b] >= self.S - 1:
+                    done.append(req)
+                    self._retire(b)
+                    break
         return done
 
     def _finished(self, req: Request) -> bool:

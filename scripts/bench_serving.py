@@ -25,6 +25,7 @@ def main(
     prompt_len: int = 32,
     max_new_tokens: int = 64,
     max_seq_length: int = 256,
+    steps_per_sync: int = 8,
     compare_sequential: bool = False,
 ) -> None:
     """Benchmark the continuous-batching engine.
@@ -38,6 +39,7 @@ def main(
         prompt_len: Prompt tokens per request.
         max_new_tokens: Decode length per request.
         max_seq_length: KV-cache length.
+        steps_per_sync: Decode steps per host sync.
         compare_sequential: Also run the one-at-a-time baseline.
     """
     import jax
@@ -77,7 +79,10 @@ def main(
         for _ in range(n_requests)
     ]
 
-    engine = DecodeEngine(params, config, max_batch=max_batch, max_seq_length=max_seq_length)
+    engine = DecodeEngine(
+        params, config, max_batch=max_batch, max_seq_length=max_seq_length,
+        steps_per_sync=steps_per_sync,
+    )
     # warmup compiles: one prefill bucket + one step
     wid = engine.submit(prompts[0], 2)
     engine.run()
@@ -97,7 +102,10 @@ def main(
     )
 
     if compare_sequential:
-        eng1 = DecodeEngine(params, config, max_batch=1, max_seq_length=max_seq_length)
+        eng1 = DecodeEngine(
+            params, config, max_batch=1, max_seq_length=max_seq_length,
+            steps_per_sync=steps_per_sync,
+        )
         eng1.submit(prompts[0], 2)
         eng1.run()
         t0 = time.perf_counter()

@@ -66,6 +66,7 @@ def main(
     port: int = 8000,
     max_batch: int = 8,
     max_seq_length: Optional[int] = None,
+    steps_per_sync: int = 4,
 ) -> None:
     """Serve a model over HTTP with continuous batching.
 
@@ -78,6 +79,7 @@ def main(
         port: Bind port.
         max_batch: Concurrent decode slots.
         max_seq_length: KV-cache length (default: model block_size).
+        steps_per_sync: Decode steps per host sync (latency/throughput knob).
     """
     from lit_llama_tpu.data.tokenizer import Tokenizer
     from lit_llama_tpu.serve.engine import DecodeEngine
@@ -86,7 +88,10 @@ def main(
     print("Loading model ...", file=sys.stderr)
     params, config = load_model(Path(checkpoint_path), quantize, model_size)
     tokenizer = Tokenizer(tokenizer_path)
-    engine = DecodeEngine(params, config, max_batch=max_batch, max_seq_length=max_seq_length)
+    engine = DecodeEngine(
+        params, config, max_batch=max_batch, max_seq_length=max_seq_length,
+        steps_per_sync=steps_per_sync,
+    )
     server = _Server(engine, tokenizer)
     t = threading.Thread(target=server.loop, daemon=True)
     t.start()
