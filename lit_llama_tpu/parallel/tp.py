@@ -205,11 +205,12 @@ def cache_spec() -> P:
     return P(None, None, MODEL_AXIS, None, None)  # heads sharded
 
 
-def make_tp_forward(config: LLaMAConfig, mesh: Mesh, params_template: Params):
-    """Returns jitted (prefill_fn, decode_fn) running inside shard_map.
+def make_sharded_forwards(config: LLaMAConfig, mesh: Mesh, params_template: Params):
+    """Unjitted shard_map-wrapped forward callables for embedding in larger
+    jitted programs (e.g. the serving engine's chunked decode scan):
 
-    prefill_fn(params, tokens (1,T), input_pos (T,), cache) -> (logits, cache)
-    decode_fn(params, tokens (B,1), slot_pos (B,), cache) -> (logits, cache)
+    fwd_prefill(params, tokens (B,T), input_pos (T,), cache) -> (logits, cache)
+    fwd_decode(params, tokens (B,1), slot_pos (B,), cache) -> (logits, cache)
     """
     pspecs = tp_param_specs(params_template)
     cspec = {"k": cache_spec(), "v": cache_spec()}
@@ -217,43 +218,24 @@ def make_tp_forward(config: LLaMAConfig, mesh: Mesh, params_template: Params):
 
     def _prefill(params, tokens, input_pos, cache):
         return llama.forward(
-            params,
-            tokens,
-            config,
-            input_pos=input_pos,
-            kv_cache=cache,
+            params, tokens, config, input_pos=input_pos, kv_cache=cache,
             tp_axis=MODEL_AXIS,
         )
 
     def _decode(params, tokens, slot_pos, cache):
         return llama.forward(
-            params,
-            tokens,
-            config,
-            slot_pos=slot_pos,
-            kv_cache=cache,
+            params, tokens, config, slot_pos=slot_pos, kv_cache=cache,
             tp_axis=MODEL_AXIS,
         )
 
-    prefill = jax.jit(
-        shard_map(
-            _prefill,
-            mesh=mesh,
-            in_specs=(pspecs, rep, rep, cspec),
-            out_specs=(rep, cspec),
-            check_vma=False,
-        )
-    )
-    decode = jax.jit(
-        shard_map(
-            _decode,
-            mesh=mesh,
-            in_specs=(pspecs, rep, rep, cspec),
-            out_specs=(rep, cspec),
-            check_vma=False,
-        )
-    )
-    return prefill, decode
+    common = dict(mesh=mesh, in_specs=(pspecs, rep, rep, cspec), out_specs=(rep, cspec), check_vma=False)
+    return shard_map(_prefill, **common), shard_map(_decode, **common)
+
+
+def make_tp_forward(config: LLaMAConfig, mesh: Mesh, params_template: Params):
+    """Jitted (prefill_fn, decode_fn) versions of :func:`make_sharded_forwards`."""
+    fwd_prefill, fwd_decode = make_sharded_forwards(config, mesh, params_template)
+    return jax.jit(fwd_prefill), jax.jit(fwd_decode)
 
 
 def init_tp_cache(

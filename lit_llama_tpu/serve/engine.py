@@ -86,9 +86,25 @@ class DecodeEngine:
         prefill_buckets=(32, 64, 128, 256, 512, 1024, 2048),
         seed: int = 0,
         steps_per_sync: int = 4,
+        mesh=None,
     ):
-        # inference layout: unrolled layers, no per-step weight-slice copies
-        self.params = llama.unstack_layers(params)
+        """``mesh``: a {data, model} jax mesh. When its model axis is > 1, the
+        engine shards heads/MLP/vocab across it via the shard_map TP path
+        (parallel/tp.py) — multi-chip continuous batching with the KV cache
+        tensor-sharded over heads (north-star config #5)."""
+        self.mesh = mesh
+        mp = mesh.shape.get("model", 1) if mesh is not None else 1
+        if mp > 1:
+            from lit_llama_tpu.parallel import tp as tp_lib
+
+            self.params = tp_lib.shard_params_tp(params, mesh, config)
+            self._fwd_prefill, self._fwd_decode = tp_lib.make_sharded_forwards(
+                config, mesh, self.params
+            )
+        else:
+            # inference layout: unrolled layers, no per-step weight-slice copies
+            self.params = llama.unstack_layers(params)
+            self._fwd_prefill = self._fwd_decode = None
         self.config = config
         self.B = max_batch
         self.S = min(max_seq_length or config.block_size, config.block_size)
@@ -97,7 +113,12 @@ class DecodeEngine:
         self.buckets = tuple(b for b in prefill_buckets if b <= self.S) or (self.S,)
         dtype = jnp.dtype(config.compute_dtype)
         self.rope = build_rope_cache(config.block_size, config.head_size)
-        self.cache = llama.init_kv_cache(config, self.B, self.S, dtype)
+        if mp > 1:
+            from lit_llama_tpu.parallel import tp as tp_lib
+
+            self.cache = tp_lib.init_tp_cache(config, mesh, self.B, self.S, dtype)
+        else:
+            self.cache = llama.init_kv_cache(config, self.B, self.S, dtype)
         self.slot_pos = np.zeros((self.B,), np.int32)
         self.last_tok = np.zeros((self.B,), np.int32)
         self.temps = np.zeros((self.B,), np.float32)
@@ -111,6 +132,18 @@ class DecodeEngine:
         cfg = config
         rope = self.rope
         top_k_static = self.top_k
+        fwd_prefill = self._fwd_prefill or (
+            lambda params, tokens, input_pos, cache: llama.forward(
+                params, tokens, cfg, rope_cache=rope, input_pos=input_pos,
+                kv_cache=cache,
+            )
+        )
+        fwd_decode = self._fwd_decode or (
+            lambda params, tokens, slot_pos, cache: llama.forward(
+                params, tokens, cfg, rope_cache=rope, slot_pos=slot_pos,
+                kv_cache=cache,
+            )
+        )
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def prefill(cache, params, tokens, slot, true_len, temp, key):
@@ -120,14 +153,7 @@ class DecodeEngine:
             slot_cache = jax.tree_util.tree_map(
                 lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=1), cache
             )
-            logits, slot_cache = llama.forward(
-                params,
-                tokens,
-                cfg,
-                rope_cache=rope,
-                input_pos=jnp.arange(T),
-                kv_cache=slot_cache,
-            )
+            logits, slot_cache = fwd_prefill(params, tokens, jnp.arange(T), slot_cache)
             cache = jax.tree_util.tree_map(
                 lambda c, sc: jax.lax.dynamic_update_slice_in_dim(c, sc, slot, axis=1),
                 cache,
@@ -149,14 +175,7 @@ class DecodeEngine:
 
             def body(carry, _):
                 cache, tok, pos, key = carry
-                logits, cache = llama.forward(
-                    params,
-                    tok[:, None],
-                    cfg,
-                    rope_cache=rope,
-                    slot_pos=pos,
-                    kv_cache=cache,
-                )
+                logits, cache = fwd_decode(params, tok[:, None], pos, cache)
                 key, sub = jax.random.split(key)
                 keys = jax.random.split(sub, tok.shape[0])
                 nxt = _sample_rows(

@@ -67,6 +67,7 @@ def main(
     max_batch: int = 8,
     max_seq_length: Optional[int] = None,
     steps_per_sync: int = 4,
+    model_parallel: int = 1,
 ) -> None:
     """Serve a model over HTTP with continuous batching.
 
@@ -80,6 +81,7 @@ def main(
         max_batch: Concurrent decode slots.
         max_seq_length: KV-cache length (default: model block_size).
         steps_per_sync: Decode steps per host sync (latency/throughput knob).
+        model_parallel: Tensor-parallel degree (shard_map over the model mesh axis).
     """
     from lit_llama_tpu.data.tokenizer import Tokenizer
     from lit_llama_tpu.serve.engine import DecodeEngine
@@ -88,9 +90,14 @@ def main(
     print("Loading model ...", file=sys.stderr)
     params, config = load_model(Path(checkpoint_path), quantize, model_size)
     tokenizer = Tokenizer(tokenizer_path)
+    mesh = None
+    if model_parallel > 1:
+        from lit_llama_tpu.parallel import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(data=1, model=model_parallel)
     engine = DecodeEngine(
         params, config, max_batch=max_batch, max_seq_length=max_seq_length,
-        steps_per_sync=steps_per_sync,
+        steps_per_sync=steps_per_sync, mesh=mesh,
     )
     server = _Server(engine, tokenizer)
     t = threading.Thread(target=server.loop, daemon=True)

@@ -77,3 +77,22 @@ def test_engine_eos_and_ttft(setup):
     done = eng.run()
     assert done[rid].generated == expected[:3]  # stops at (and includes) eos
     assert done[rid].ttft is not None and done[rid].ttft >= 0
+
+
+def test_engine_tensor_parallel_matches_single_device(setup):
+    """Continuous batching over a model-parallel mesh (shard_map TP) produces
+    the same greedy tokens as the single-device engine."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from lit_llama_tpu.parallel import mesh as mesh_lib
+
+    cfg, params = setup
+    mesh = mesh_lib.make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(1, 97, size=n).astype(np.int32) for n in (5, 12)]
+
+    eng = DecodeEngine(params, cfg, max_batch=2, mesh=mesh, steps_per_sync=2)
+    ids = [eng.submit(p, 6) for p in prompts]
+    done = eng.run()
+    for rid, p in zip(ids, prompts):
+        assert done[rid].generated == ref_greedy(params, cfg, p, 6), rid
