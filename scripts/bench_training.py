@@ -70,8 +70,10 @@ def main(
     print(f"~{n_params/1e9:.2f}B params", file=sys.stderr)
 
     mesh = mesh_lib.make_mesh(data=data_parallel, model=model_parallel)
+    n_dev = mesh.devices.size
     params = llama.init_params(config, jax.random.PRNGKey(0))
-    params = sharding.shard_params(params, mesh, fsdp=True, tp=model_parallel > 1)
+    if n_dev > 1:
+        params = sharding.shard_params(params, mesh, fsdp=True, tp=model_parallel > 1)
     tc = step_lib.TrainConfig(warmup_iters=0, max_iters=10**6, decay_lr=False)
     optimizer = step_lib.make_optimizer(tc)
     opt_state = jax.jit(optimizer.init)(params)
@@ -86,13 +88,14 @@ def main(
     with mesh:
         t0 = time.perf_counter()
         state, loss = step_lib.train_step(state, ids, ids, config, optimizer, remat)
-        jax.block_until_ready(loss)
+        float(loss)  # value fetch — block_until_ready alone can return early on
+        # remote-attached (relay) devices
         compile_s = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         for _ in range(n_iters):
             state, loss = step_lib.train_step(state, ids, ids, config, optimizer, remat)
-        jax.block_until_ready(loss)
+        float(loss)
         dt = (time.perf_counter() - t0) / n_iters
 
     tokens = accum_steps * micro_batch_size * block_size
