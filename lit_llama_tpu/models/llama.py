@@ -194,12 +194,18 @@ def _causal_self_attention(
             k_cache = jax.lax.dynamic_update_slice(kv["k"], k, (0, 0, write_pos, 0))
             v_cache = jax.lax.dynamic_update_slice(kv["v"], v, (0, 0, write_pos, 0))
         else:
-            # Per-slot positions (continuous batching): one-hot masked write of
-            # this step's (B, H, 1, hs) k/v at each slot's own position.
-            S = kv["k"].shape[2]
-            hit = (jnp.arange(S)[None, :] == write_pos[:, None])[:, None, :, None]
-            k_cache = jnp.where(hit, k, kv["k"])
-            v_cache = jnp.where(hit, v, kv["v"])
+            # Per-slot positions (continuous batching): B in-place slice writes,
+            # one per slot at its own position — a one-hot masked jnp.where
+            # would rewrite the whole (B, H, S, hs) cache every layer/step.
+            k_cache, v_cache = kv["k"], kv["v"]
+            for b in range(k.shape[0]):
+                pos_b = write_pos[b]
+                k_cache = jax.lax.dynamic_update_slice(
+                    k_cache, k[b : b + 1], (b, 0, pos_b, 0)
+                )
+                v_cache = jax.lax.dynamic_update_slice(
+                    v_cache, v[b : b + 1], (b, 0, pos_b, 0)
+                )
         new_kv = {"k": k_cache, "v": v_cache}
         k, v = k_cache, v_cache
 
