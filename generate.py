@@ -32,6 +32,7 @@ def main(
     tokenizer_path: Path = Path("checkpoints/lit-llama/tokenizer.model"),
     quantize: Optional[str] = None,
     model_size: Optional[str] = None,
+    kv_cache_dtype: Optional[str] = None,
     seed: int = 1234,
 ) -> None:
     """Generates text samples based on a pre-trained LLaMA model and tokenizer.
@@ -46,6 +47,7 @@ def main(
         tokenizer_path: The tokenizer path to load (.model or tokenizer.json).
         quantize: Whether to quantize the model: "llm.int8" (8-bit weight-only) or "gptq.int4" (4-bit round-to-nearest; for true GPTQ run quantize/gptq.py first and pass its output).
         model_size: Override the model preset (7B/13B/30B/65B) if it cannot be inferred.
+        kv_cache_dtype: KV-cache storage: None (compute dtype) or "int8".
         seed: Random seed for sampling.
     """
     checkpoint_path, tokenizer_path = Path(checkpoint_path), Path(tokenizer_path)
@@ -55,6 +57,8 @@ def main(
     print("Loading model ...", file=sys.stderr)
     t0 = time.time()
     params, config = load_model(checkpoint_path, quantize, model_size)
+    if kv_cache_dtype:
+        config = config.replace(kv_cache_dtype=kv_cache_dtype)
     from lit_llama_tpu.models.llama import unstack_layers
 
     params = unstack_layers(params)

@@ -75,6 +75,11 @@ class LLaMAConfig:
     # Group size for int4 group quantization (reference ColBlockQuantizedLinear tile_cols;
     # -1 means one group per full row, lit_llama/quantization.py:345-355).
     quant_groupsize: int = 128
+    # KV-cache storage: None/"compute" keeps compute_dtype; "int8" stores k/v
+    # symmetric-quantized per (position, head) vector with an f32 scale —
+    # half the cache memory and read bandwidth (beyond the reference; see
+    # PAPERS.md KV-cache quantization line).
+    kv_cache_dtype: Optional[str] = None
     # PEFT variants, resolved at build time instead of monkeypatching.
     lora: Optional[LoRAConfig] = None
     adapter: Optional[AdapterConfig] = None

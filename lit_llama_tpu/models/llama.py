@@ -96,7 +96,11 @@ def init_params(config: LLaMAConfig, key: jax.Array) -> Params:
 def init_kv_cache(
     config: LLaMAConfig, batch_size: int, max_seq_length: int, dtype=None
 ) -> KVCache:
-    """Zero-initialized static-shape cache (reference: lit_llama/model.py:108-114)."""
+    """Zero-initialized static-shape cache (reference: lit_llama/model.py:108-114).
+
+    With ``config.kv_cache_dtype == "int8"`` k/v are stored int8 with an f32
+    scale per (layer, batch, head, position) — half the memory and read
+    bandwidth of a bf16 cache."""
     dtype = dtype or jnp.dtype(config.compute_dtype)
     shape = (
         config.n_layer,
@@ -105,7 +109,16 @@ def init_kv_cache(
         max_seq_length,
         config.head_size,
     )
-    cache = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    if config.kv_cache_dtype == "int8":
+        sshape = shape[:-1] + (1,)
+        cache = {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "ks": jnp.zeros(sshape, jnp.float32),
+            "vs": jnp.zeros(sshape, jnp.float32),
+        }
+    else:
+        cache = {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
     if config.adapter is not None:
         from lit_llama_tpu.peft import adapter as adapter_mod
 
@@ -116,6 +129,29 @@ def init_kv_cache(
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
+
+
+def _quantize_kv(x: jnp.ndarray):
+    """Symmetric per-(batch, head, position) int8 quantization of k/v vectors."""
+    x32 = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _cache_write(arr: jnp.ndarray, new: jnp.ndarray, write_pos: jnp.ndarray) -> jnp.ndarray:
+    """Write ``new`` (B, H, T, d) into ``arr`` (B, H, S, d) at write_pos —
+    scalar (contiguous slice, reference model.py:211-221) or per-slot vector
+    (continuous batching: B in-place slice updates)."""
+    if write_pos.ndim == 0:
+        return jax.lax.dynamic_update_slice(arr, new, (0, 0, write_pos, 0))
+    out = arr
+    for b in range(new.shape[0]):
+        out = jax.lax.dynamic_update_slice(
+            out, new[b : b + 1], (b, 0, write_pos[b], 0)
+        )
+    return out
 
 
 def _block(
@@ -188,26 +224,27 @@ def _causal_self_attention(
 
     new_kv = None
     if kv is not None:
-        if write_pos.ndim == 0:
-            # Write the new keys/values at write_pos (contiguous slice); attention
-            # then runs against the full cache (reference: model.py:211-221).
-            k_cache = jax.lax.dynamic_update_slice(kv["k"], k, (0, 0, write_pos, 0))
-            v_cache = jax.lax.dynamic_update_slice(kv["v"], v, (0, 0, write_pos, 0))
+        if "ks" in kv:
+            # int8 cache: store quantized vectors + per-vector scales, then
+            # dequantize the full cache for attention (half the read bandwidth)
+            kq, ksc = _quantize_kv(k)
+            vq, vsc = _quantize_kv(v)
+            new_kv = {
+                "k": _cache_write(kv["k"], kq, write_pos),
+                "ks": _cache_write(kv["ks"], ksc, write_pos),
+                "v": _cache_write(kv["v"], vq, write_pos),
+                "vs": _cache_write(kv["vs"], vsc, write_pos),
+            }
+            k = (new_kv["k"].astype(jnp.float32) * new_kv["ks"]).astype(q.dtype)
+            v = (new_kv["v"].astype(jnp.float32) * new_kv["vs"]).astype(q.dtype)
         else:
-            # Per-slot positions (continuous batching): B in-place slice writes,
-            # one per slot at its own position — a one-hot masked jnp.where
-            # would rewrite the whole (B, H, S, hs) cache every layer/step.
-            k_cache, v_cache = kv["k"], kv["v"]
-            for b in range(k.shape[0]):
-                pos_b = write_pos[b]
-                k_cache = jax.lax.dynamic_update_slice(
-                    k_cache, k[b : b + 1], (b, 0, pos_b, 0)
-                )
-                v_cache = jax.lax.dynamic_update_slice(
-                    v_cache, v[b : b + 1], (b, 0, pos_b, 0)
-                )
-        new_kv = {"k": k_cache, "v": v_cache}
-        k, v = k_cache, v_cache
+            # Write the new keys/values at write_pos; attention then runs
+            # against the full cache (reference: model.py:211-221).
+            new_kv = {
+                "k": _cache_write(kv["k"], k, write_pos),
+                "v": _cache_write(kv["v"], v, write_pos),
+            }
+            k, v = new_kv["k"], new_kv["v"]
 
     y = attention(q, k, v, mask, causal=causal)
 
@@ -335,15 +372,17 @@ def forward(
                 x, _ = blk(lp, x, rope, mask, config, None, None, causal, tp_axis)
             new_cache = None
         else:
-            ks, vs = [], []
+            acc = None
             for l, lp in enumerate(layer_params):
                 kv_l = jax.tree_util.tree_map(lambda c: c[l], kv_cache)
                 x, new_kv_l = _block(
                     lp, x, rope, mask, config, kv_l, write_pos, causal, tp_axis
                 )
-                ks.append(new_kv_l["k"])
-                vs.append(new_kv_l["v"])
-            new_cache = {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+                if acc is None:
+                    acc = {name: [] for name in new_kv_l}
+                for name in acc:
+                    acc[name].append(new_kv_l[name])
+            new_cache = {name: jnp.stack(vals) for name, vals in acc.items()}
     elif kv_cache is None:
 
         def body(h, lp):

@@ -205,6 +205,11 @@ def cache_spec() -> P:
     return P(None, None, MODEL_AXIS, None, None)  # heads sharded
 
 
+def cache_specs(config: LLaMAConfig):
+    keys = ["k", "v"] + (["ks", "vs"] if config.kv_cache_dtype == "int8" else [])
+    return {k: cache_spec() for k in keys}
+
+
 def make_sharded_forwards(config: LLaMAConfig, mesh: Mesh, params_template: Params):
     """Unjitted shard_map-wrapped forward callables for embedding in larger
     jitted programs (e.g. the serving engine's chunked decode scan):
@@ -213,7 +218,7 @@ def make_sharded_forwards(config: LLaMAConfig, mesh: Mesh, params_template: Para
     fwd_decode(params, tokens (B,1), slot_pos (B,), cache) -> (logits, cache)
     """
     pspecs = tp_param_specs(params_template)
-    cspec = {"k": cache_spec(), "v": cache_spec()}
+    cspec = cache_specs(config)
     rep = P()
 
     def _prefill(params, tokens, input_pos, cache):

@@ -68,6 +68,7 @@ def main(
     max_seq_length: Optional[int] = None,
     steps_per_sync: int = 4,
     model_parallel: int = 1,
+    kv_cache_dtype: Optional[str] = None,
 ) -> None:
     """Serve a model over HTTP with continuous batching.
 
@@ -82,6 +83,7 @@ def main(
         max_seq_length: KV-cache length (default: model block_size).
         steps_per_sync: Decode steps per host sync (latency/throughput knob).
         model_parallel: Tensor-parallel degree (shard_map over the model mesh axis).
+        kv_cache_dtype: KV-cache storage: None (compute dtype) or "int8" (half memory).
     """
     from lit_llama_tpu.data.tokenizer import Tokenizer
     from lit_llama_tpu.serve.engine import DecodeEngine
@@ -89,6 +91,8 @@ def main(
 
     print("Loading model ...", file=sys.stderr)
     params, config = load_model(Path(checkpoint_path), quantize, model_size)
+    if kv_cache_dtype:
+        config = config.replace(kv_cache_dtype=kv_cache_dtype)
     tokenizer = Tokenizer(tokenizer_path)
     mesh = None
     if model_parallel > 1:

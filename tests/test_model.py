@@ -202,3 +202,55 @@ def test_unstacked_layers_match_stacked(tiny_config):
         np.asarray(rs["h"]["attn"]["c_attn"]["w"]),
         np.asarray(params["h"]["attn"]["c_attn"]["w"]),
     )
+
+
+def test_int8_kv_cache_decode_close_to_bf16(tiny_config):
+    """int8 KV cache decode tracks the full-precision cache closely (beyond the
+    reference; PAPERS.md KV-cache quantization direction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lit_llama_tpu.models import llama
+
+    params = init_params(tiny_config, jax.random.PRNGKey(5))
+    qcfg = tiny_config.replace(kv_cache_dtype="int8")
+    toks = (jnp.arange(12, dtype=jnp.int32) * 7 % 128)[None, :]
+
+    cache_f = init_kv_cache(tiny_config, 1, 12)
+    ref, cache_f = forward(
+        params, toks[:, :8], tiny_config, input_pos=jnp.arange(8), kv_cache=cache_f
+    )
+    cache_q = init_kv_cache(qcfg, 1, 12)
+    assert cache_q["k"].dtype == jnp.int8 and "ks" in cache_q
+    got, cache_q = forward(
+        params, toks[:, :8], qcfg, input_pos=jnp.arange(8), kv_cache=cache_q
+    )
+    # prefill logits: last position only depends on cache written this call
+    np.testing.assert_allclose(
+        np.asarray(got[:, -1]), np.asarray(ref[:, -1]), atol=0.05, rtol=0.05
+    )
+    # a decode step reading the quantized cache
+    ref_d, _ = forward(
+        params, toks[:, 8:9], tiny_config, input_pos=jnp.array([8]), kv_cache=cache_f
+    )
+    got_d, _ = forward(
+        params, toks[:, 8:9], qcfg, input_pos=jnp.array([8]), kv_cache=cache_q
+    )
+    err = np.abs(np.asarray(got_d) - np.asarray(ref_d)).max()
+    mag = np.abs(np.asarray(ref_d)).max()
+    assert err < 0.05 * mag + 0.05, (err, mag)
+
+
+def test_int8_kv_cache_engine_runs(tiny_config):
+    """Continuous batching over an int8 cache produces sane tokens."""
+    import jax
+
+    from lit_llama_tpu.serve.engine import DecodeEngine
+
+    qcfg = tiny_config.replace(kv_cache_dtype="int8")
+    params = init_params(qcfg, jax.random.PRNGKey(5))
+    eng = DecodeEngine(params, qcfg, max_batch=2, steps_per_sync=2)
+    rid = eng.submit(np.asarray([3, 5, 7], np.int32), 6)
+    done = eng.run()
+    assert len(done[rid].generated) == 6
+    assert all(0 <= t < qcfg.padded_vocab_size for t in done[rid].generated)
