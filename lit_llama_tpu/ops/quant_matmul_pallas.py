@@ -79,12 +79,12 @@ def matmul_int8(
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
     block_k = min(K, 512)
-    block_n = min(N, 512)
+    block_n = min(N, 1024)
 
     out = pl.pallas_call(
         _int8_kernel,
         out_shape=jax.ShapeDtypeStruct((Mp, N), compute_dtype),
-        grid=(Mp // block_m, N // block_n, K // block_k),
+        grid=(Mp // block_m, pl.cdiv(N, block_n), K // block_k),
         in_specs=[
             pl.BlockSpec(
                 (block_m, block_k), lambda m, n, k: (m, k), memory_space=pltpu.VMEM
@@ -201,7 +201,7 @@ def matmul_int4(
             groups_per_block = d
             break
     block_kh = groups_per_block * gs_packed
-    block_n = min(N, 512)
+    block_n = min(N, 1024)
 
     kernel = functools.partial(
         _int4_kernel, groups_per_block=groups_per_block, gs=gs_packed
@@ -209,7 +209,7 @@ def matmul_int4(
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
-        grid=(Mp // block_m, N // block_n, Kh // block_kh),
+        grid=(Mp // block_m, pl.cdiv(N, block_n), Kh // block_kh),
         in_specs=[
             pl.BlockSpec(
                 (block_kh, block_m), lambda m, n, k: (k, m), memory_space=pltpu.VMEM

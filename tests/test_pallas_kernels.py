@@ -82,3 +82,28 @@ def test_flash_attention_grad_matches_xla(rng):
     g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("N", [1088, 320])
+def test_int4_kernel_non_divisible_N(rng, N):
+    """Output widths that do not divide the N block: the edge block must be
+    computed, not silently dropped (regression: fc 11008 / lm_head 32000)."""
+    K, gs = 256, 64
+    x = jnp.asarray(rng.normal(size=(2, K)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(K, N)) * 0.02, jnp.float32)
+    q = linear_ops.quantize_int4(w, groupsize=gs)
+    ref = quant_matmul.matmul_int4_xla(x, q["qw"], q["qscale"], q["qzero"], jnp.float32)
+    got = qmp.matmul_int4(
+        x, q["qw"], q["qscale"], q["qzero"], jnp.float32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-2, rtol=3e-2)
+
+
+def test_int8_kernel_non_divisible_N(rng):
+    K, N = 512, 1088
+    x = jnp.asarray(rng.normal(size=(3, K)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(K, N)) * 0.02, jnp.float32)
+    q = linear_ops.quantize_int8(w)
+    ref = quant_matmul.matmul_int8_xla(x, q["qw"], q["qscale"], jnp.float32)
+    got = qmp.matmul_int8(x, q["qw"], q["qscale"], jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2)
