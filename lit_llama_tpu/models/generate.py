@@ -86,6 +86,7 @@ def _generate_compiled(
         rope_cache=rope_cache,
         input_pos=jnp.arange(T),
         kv_cache=cache,
+        prefill_from_zero=True,
     )
     key, sub = jax.random.split(key)
     next_tok = sample_logits(logits[0, -1].astype(jnp.float32), sub, temperature, top_k)

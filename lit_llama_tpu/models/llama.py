@@ -164,6 +164,7 @@ def _block(
     write_pos: Optional[jnp.ndarray],
     causal: bool,
     tp_axis: Optional[str] = None,
+    attend_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """One pre-norm residual block (reference: lit_llama/model.py:148-168)."""
     h, new_kv = _causal_self_attention(
@@ -177,6 +178,7 @@ def _block(
         causal,
         layer_params,
         tp_axis,
+        attend_len,
     )
     x = x + h
     x = x + _mlp(layer_params["mlp"], rms_norm(x, layer_params["rms_2"]), tp_axis)
@@ -194,6 +196,7 @@ def _causal_self_attention(
     causal: bool,
     layer_params: Params,
     tp_axis: Optional[str] = None,
+    attend_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Fused-QKV attention (reference: lit_llama/model.py:171-237).
 
@@ -246,6 +249,11 @@ def _causal_self_attention(
             }
             k, v = new_kv["k"], new_kv["v"]
 
+    if attend_len is not None and kv is not None:
+        # prefill-from-zero: only the first attend_len cache slots are live —
+        # a static slice keeps the problem (T, T) and flash-eligible
+        k = jax.lax.slice_in_dim(k, 0, attend_len, axis=2)
+        v = jax.lax.slice_in_dim(v, 0, attend_len, axis=2)
     y = attention(q, k, v, mask, causal=causal)
 
     if config.adapter is not None:
@@ -287,6 +295,7 @@ def forward(
     kv_cache: Optional[KVCache] = None,
     remat: bool = False,
     tp_axis: Optional[str] = None,
+    prefill_from_zero: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the model.
 
@@ -308,6 +317,11 @@ def forward(
     each block's two projections, and the vocab-sharded logits are all-gathered
     at the end. wte and the norms must be replicated; LoRA/adapter overlays are
     not supported under this path.
+
+    ``prefill_from_zero=True`` (static) promises ``input_pos == arange(T)``: the
+    attention then reads only the first T cache slots with a causal mask, making
+    the Pallas flash kernel eligible for prefill (the einsum fallback would
+    materialize (T, S) scores per layer).
     """
     if tp_axis is not None and (config.lora is not None or config.adapter is not None):
         raise NotImplementedError("PEFT overlays are not supported under shard_map TP")
@@ -320,6 +334,7 @@ def forward(
 
     write_pos = None
     causal = False
+    attend_len = None
     if slot_pos is not None:
         assert T == 1, "slot_pos decode is single-token per slot"
         S = kv_cache["k"].shape[3]
@@ -332,6 +347,14 @@ def forward(
         rope = jax.lax.slice_in_dim(rope_cache, 0, T, axis=0)
         mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
         causal = True
+    elif prefill_from_zero and T > 1:
+        # prefill positions are statically known to be arange(T): attend over
+        # the first T cache slots with a plain causal mask (flash-eligible)
+        rope = jax.lax.slice_in_dim(rope_cache, 0, T, axis=0)
+        mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
+        causal = True
+        attend_len = T
+        write_pos = jnp.int32(0)
     else:
         S = kv_cache["k"].shape[3]
         # Overflow: roll the cache one slot left and write at the last slot
@@ -376,7 +399,8 @@ def forward(
             for l, lp in enumerate(layer_params):
                 kv_l = jax.tree_util.tree_map(lambda c: c[l], kv_cache)
                 x, new_kv_l = _block(
-                    lp, x, rope, mask, config, kv_l, write_pos, causal, tp_axis
+                    lp, x, rope, mask, config, kv_l, write_pos, causal, tp_axis,
+                    attend_len,
                 )
                 if acc is None:
                     acc = {name: [] for name in new_kv_l}
@@ -397,7 +421,9 @@ def forward(
 
         def body(h, inputs):
             lp, kv = inputs
-            h, new_kv = _block(lp, h, rope, mask, config, kv, write_pos, causal, tp_axis)
+            h, new_kv = _block(
+                lp, h, rope, mask, config, kv, write_pos, causal, tp_axis, attend_len
+            )
             return h, new_kv
 
         x, new_cache = jax.lax.scan(body, x, (layer_params, kv_cache))

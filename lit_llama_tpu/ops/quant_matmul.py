@@ -76,6 +76,15 @@ def _pallas_enabled() -> bool:
 def _use_pallas(x, qw, packed: bool = False) -> bool:
     if not _pallas_enabled():
         return False
+    # The Pallas kernel is tuned for weight-bandwidth-bound decode (tiny M).
+    # At prefill/training sizes the matmul is compute-bound, the plain XLA
+    # dequant+dot path is at least as fast, and large M x untiled-K block
+    # combinations can exceed the VMEM budget.
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    if m > 128:
+        return False
     in_f = qw.shape[0] * (2 if packed else 1)
     out_f = qw.shape[1]
     return in_f % 256 == 0 and out_f % 256 == 0

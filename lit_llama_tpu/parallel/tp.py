@@ -224,7 +224,7 @@ def make_sharded_forwards(config: LLaMAConfig, mesh: Mesh, params_template: Para
     def _prefill(params, tokens, input_pos, cache):
         return llama.forward(
             params, tokens, config, input_pos=input_pos, kv_cache=cache,
-            tp_axis=MODEL_AXIS,
+            tp_axis=MODEL_AXIS, prefill_from_zero=True,
         )
 
     def _decode(params, tokens, slot_pos, cache):

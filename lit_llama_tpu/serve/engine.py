@@ -135,7 +135,7 @@ class DecodeEngine:
         fwd_prefill = self._fwd_prefill or (
             lambda params, tokens, input_pos, cache: llama.forward(
                 params, tokens, cfg, rope_cache=rope, input_pos=input_pos,
-                kv_cache=cache,
+                kv_cache=cache, prefill_from_zero=True,
             )
         )
         fwd_decode = self._fwd_decode or (

@@ -254,3 +254,29 @@ def test_int8_kv_cache_engine_runs(tiny_config):
     done = eng.run()
     assert len(done[rid].generated) == 6
     assert all(0 <= t < qcfg.padded_vocab_size for t in done[rid].generated)
+
+
+def test_prefill_from_zero_matches_general_path(tiny_config):
+    """The flash-eligible prefill fast path equals the general masked path."""
+    import jax
+    import jax.numpy as jnp
+
+    params = init_params(tiny_config, jax.random.PRNGKey(6))
+    toks = (jnp.arange(8, dtype=jnp.int32) * 5 % 128)[None, :]
+    cache_a = init_kv_cache(tiny_config, 1, 16)
+    ref, cache_a = forward(
+        params, toks, tiny_config, input_pos=jnp.arange(8), kv_cache=cache_a
+    )
+    cache_b = init_kv_cache(tiny_config, 1, 16)
+    got, cache_b = forward(
+        params,
+        toks,
+        tiny_config,
+        input_pos=jnp.arange(8),
+        kv_cache=cache_b,
+        prefill_from_zero=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(cache_b["k"]), np.asarray(cache_a["k"]), atol=1e-6
+    )
