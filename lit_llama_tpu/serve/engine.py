@@ -69,7 +69,7 @@ def _sample_rows(logits, keys, temps, top_k):
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
     if top_k is not None:
-        kth = jax.lax.top_k(scaled, top_k)[0][..., -1:]
+        kth = jax.lax.approx_max_k(scaled, top_k)[0][..., -1:]
         scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
     sampled = jax.vmap(jax.random.categorical)(keys, scaled).astype(jnp.int32)
     return jnp.where(temps == 0.0, greedy, sampled)
