@@ -15,6 +15,7 @@ Improvements over the reference (SURVEY.md §5 gaps):
 from __future__ import annotations
 
 import json
+import threading
 import sys
 import time
 from dataclasses import dataclass, field
@@ -135,9 +136,30 @@ def train(
                 with open(metrics_path, "a") as f:
                     f.write(json.dumps(rec) + "\n")
 
+    # Preemption handling (beyond the reference, SURVEY.md §5: it has none):
+    # SIGTERM/SIGINT set a flag; the loop saves a resumable checkpoint
+    # (params + optimizer + step) and exits cleanly at the next step boundary.
+    stop_requested = {"flag": False}
+
+    def _on_signal(signum, frame):
+        stop_requested["flag"] = True
+        print(f"[train] signal {signum}: checkpointing and stopping", file=sys.stderr)
+
+    prev_handlers = {}
+    import signal as _signal
+
+    if threading.current_thread() is threading.main_thread():
+        for sig in (_signal.SIGTERM, _signal.SIGINT):
+            prev_handlers[sig] = _signal.signal(sig, _on_signal)
+
     start_iter = int(state.step)
     t_last = time.perf_counter()
     for it in range(start_iter, loop.max_iters):
+        if stop_requested["flag"]:
+            save_train_checkpoint(
+                out_dir, f"preempt-{it:06d}", state, config, loop.save_filter
+            )
+            break
         try:
             ids, tgt = next(batches)
         except StopIteration:
@@ -170,6 +192,8 @@ def train(
             save_train_checkpoint(
                 out_dir, f"iter-{it + 1:06d}", state, config, loop.save_filter
             )
+    for sig, h in prev_handlers.items():
+        _signal.signal(sig, h)
     return state
 
 

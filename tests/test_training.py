@@ -141,3 +141,44 @@ def test_cosine_lr_schedule():
     np.testing.assert_allclose(float(sched(10)), 1.0)
     np.testing.assert_allclose(float(sched(110)), 0.1, rtol=1e-6)
     np.testing.assert_allclose(float(sched(1000)), 0.1, rtol=1e-6)
+
+
+def test_preemption_checkpoint(tmp_path, cfg):
+    """SIGTERM-style stop: the loop saves a resumable checkpoint and exits
+    (beyond the reference, which has no preemption handling — SURVEY.md §5)."""
+    import os
+    import signal
+    import threading as th
+
+    from lit_llama_tpu.training import loop as loop_lib
+
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tc = step_lib.TrainConfig(learning_rate=1e-3, warmup_iters=0, max_iters=100)
+    opt = step_lib.make_optimizer(tc)
+    state = step_lib.init_train_state(params, opt)
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 2, 16), 0, 64, jnp.int32)
+
+    sent = {"done": False}
+
+    def batches():
+        while True:
+            if not sent["done"]:
+                sent["done"] = True
+            else:
+                os.kill(os.getpid(), signal.SIGINT)  # request stop mid-training
+            yield ids, ids
+
+    lc = loop_lib.LoopConfig(
+        out_dir=tmp_path, max_iters=50, log_interval=1000, eval_interval=0,
+        save_interval=0,
+    )
+    state = loop_lib.train(state, batches(), cfg, opt, lc)
+    ckpts = list(tmp_path.glob("preempt-*"))
+    assert len(ckpts) == 1
+    restored = loop_lib.load_train_checkpoint(ckpts[0], opt)
+    assert int(restored.step) == int(state.step)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["h"]["attn"]["c_attn"]["w"]),
+        np.asarray(state.params["h"]["attn"]["c_attn"]["w"]),
+    )
