@@ -206,25 +206,64 @@ class SPModel:
 
     def _bpe(self, s: str) -> List[str]:
         """Score-ordered pair merging: repeatedly merge the adjacent pair whose
-        concatenation is the highest-scoring vocab piece (leftmost on ties),
-        matching the C++ BPE model's priority-queue order."""
-        syms = list(s)
+        concatenation is the highest-scoring vocab piece (leftmost on ties).
+
+        Priority queue + linked list (O(n log n)) — the same algorithm as the
+        C++ encoder (native/fast_tokenizer.cpp); stale heap entries are skipped
+        via begin/end staleness checks."""
+        import heapq
+
+        n = len(s)
+        if n == 0:
+            return []
         ev = self._encode_vocab
-        scores = self.pieces
-        while True:
-            best_score = None
-            best_i = -1
-            for i in range(len(syms) - 1):
-                merged = syms[i] + syms[i + 1]
-                j = ev.get(merged)
-                if j is None:
-                    continue
-                sc = scores[j].score
-                if best_score is None or sc > best_score:
-                    best_score, best_i = sc, i
-            if best_i < 0:
-                return syms
-            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        pieces = self.pieces
+        # symbol b: [begin, end, prev, next, alive]
+        syms = [[i, i + 1, i - 1, i + 1 if i + 1 < n else -1, True] for i in range(n)]
+
+        heap: List = []
+
+        def try_push(li: int) -> None:
+            if li < 0:
+                return
+            l = syms[li]
+            if not l[4] or l[3] < 0:
+                return
+            r = syms[l[3]]
+            j = ev.get(s[l[0] : r[1]])
+            if j is None:
+                return
+            # max-heap by score, then leftmost begin
+            heapq.heappush(heap, (-pieces[j].score, l[0], li, l[0], l[1], r[1]))
+
+        for i in range(n):
+            try_push(i)
+
+        while heap:
+            _, _, li, b0, e0, re0 = heapq.heappop(heap)
+            l = syms[li]
+            if not l[4] or l[0] != b0 or l[1] != e0 or l[3] < 0:
+                continue
+            r = syms[l[3]]
+            if r[1] != re0:
+                continue
+            l[1] = r[1]
+            r[4] = False
+            l[3] = r[3]
+            if r[3] >= 0:
+                syms[r[3]][2] = li
+            try_push(l[2])
+            try_push(li)
+
+        out = []
+        i = 0
+        while 0 <= i < n:
+            if syms[i][4]:
+                out.append(s[syms[i][0] : syms[i][1]])
+                i = syms[i][3] if syms[i][3] >= 0 else n
+            else:
+                i += 1
+        return out
 
     def _viterbi(self, s: str) -> List[str]:
         """Unigram Viterbi: max-sum-of-scores segmentation; unknown single chars
