@@ -107,3 +107,17 @@ def test_int8_kernel_non_divisible_N(rng):
     ref = quant_matmul.matmul_int8_xla(x, q["qw"], q["qscale"], jnp.float32)
     got = qmp.matmul_int8(x, q["qw"], q["qscale"], jnp.float32, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_int4_kernel_single_group(rng):
+    """groupsize == -1 (one group spanning the whole contraction dim)."""
+    K, N = 128, 256
+    x = jnp.asarray(rng.normal(size=(2, K)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(K, N)) * 0.02 + 0.01, jnp.float32)
+    q = linear_ops.quantize_int4(w, groupsize=-1)
+    assert q["qscale"].shape[0] == 1
+    ref = quant_matmul.matmul_int4_xla(x, q["qw"], q["qscale"], q["qzero"], jnp.float32)
+    got = qmp.matmul_int4(
+        x, q["qw"], q["qscale"], q["qzero"], jnp.float32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-2, rtol=3e-2)
