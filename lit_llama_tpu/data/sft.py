@@ -123,15 +123,21 @@ def get_batch(
     """Sample a right-padded (accum, batch, T) pair of (input_ids, labels)
     (reference: finetune/full.py:201-217; inputs pad 0, labels pad -1).
 
+    The pair comes out next-token aligned: inputs drop the final token and
+    labels drop the first, so ``labels[t]`` is the token that follows
+    ``input_ids[t]`` (the reference shifts inside its loss_fn instead,
+    finetune/full.py:193-198 — same objective, applied at the data layer here
+    to match the pretrain paths, which also shift at the data layer).
+
     T is the batch max length rounded up to ``pad_multiple`` — a small, fixed
     set of compiled shapes instead of one per max-length.
     """
     n = accum_steps * batch_size
     # sequential: caller already ordered `data` (length-grouped batching)
     ix = np.arange(n) % len(data) if sequential else rng.integers(len(data), size=n)
-    input_ids = [data[i]["input_ids"] for i in ix]
-    labels = [data[i]["labels"] for i in ix]
-    max_len = max(len(s) for s in input_ids)
+    input_ids = [data[i]["input_ids"][:-1] for i in ix]
+    labels = [data[i]["labels"][1:] for i in ix]
+    max_len = max(max(len(s) for s in input_ids), 1)
     T = -(-max_len // pad_multiple) * pad_multiple
     if max_seq_length is not None:
         T = min(T, max_seq_length)

@@ -165,7 +165,10 @@ class SPModel:
 
     def _normalize(self, text: str) -> str:
         if self.remove_extra_whitespaces:
-            text = " ".join(text.split())
+            # sentencepiece trims/collapses only ASCII space (0x20); other
+            # whitespace (\n, \t, NBSP, ...) is preserved and later handled by
+            # byte fallback (e.g. <0x0A>). `str.split()` would eat those.
+            text = " ".join(p for p in text.split(" ") if p)
         if self.add_dummy_prefix and text:
             text = " " + text
         return text.replace(" ", WS)

@@ -56,11 +56,13 @@ std::string normalize(const Tokenizer& t, const char* text) {
   std::string out;
   out.reserve(s.size() + 8);
   if (t.remove_extra_ws) {
-    // strip + collapse any whitespace runs to single spaces
+    // strip + collapse runs of ASCII space (0x20) ONLY — sentencepiece
+    // preserves \n/\t/etc. for byte fallback (<0x0A>); must match the
+    // pure-Python path in data/sp_model.py::_normalize exactly.
     std::string collapsed;
     bool in_ws = true;  // leading ws dropped
     for (char c : s) {
-      bool ws = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\v';
+      bool ws = c == ' ';
       if (ws) {
         if (!in_ws) collapsed.push_back(' ');
         in_ws = true;

@@ -78,7 +78,16 @@ def matmul_int8(
     Mp = _round_up(M, block_m)
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
-    block_k = min(K, 512)
+    # block_k MUST divide K: the grid below is K // block_k and a floored grid
+    # silently drops the K remainder (e.g. the 7B MLP down-projection K=11008
+    # with block_k=512 lost 256 contraction rows). Prefer the largest
+    # lane-aligned divisor; fall back to untiled K for odd direct-call shapes.
+    for cand in (512, 384, 256, 128):
+        if K % cand == 0:
+            block_k = cand
+            break
+    else:
+        block_k = K
     block_n = min(N, 1024)
 
     out = pl.pallas_call(

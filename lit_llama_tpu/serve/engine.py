@@ -16,9 +16,10 @@ All device work is two compiled programs:
   per-slot PRNG keys, ONE host sync per step for the sampled tokens. Inactive
   slots compute but are ignored on the host (branchless).
 
-``top_k`` is engine-wide (a static compile constant); temperature is
-per-request. The host-side scheduler is plain Python: admit-from-queue, step,
-harvest. Multi-host scaling composes with the mesh exactly like generate:
+``top_k`` and temperature are per-request (per-slot vectors); the engine-wide
+``top_k`` sets both the default and the static compile-time cap (one exact
+top-``max`` sort serves every slot). The host-side scheduler is plain Python:
+admit-from-queue, step, harvest. Multi-host scaling composes with the mesh exactly like generate:
 shard the batch axis over ``data`` and heads over ``model``.
 """
 
@@ -45,6 +46,7 @@ class Request:
     prompt: np.ndarray
     max_new_tokens: int
     temperature: float = 0.0
+    top_k: int = 0  # 0 = no top-k filtering for this request
     eos_id: Optional[int] = None
     # filled by the engine
     generated: List[int] = field(default_factory=list)
@@ -64,13 +66,19 @@ def _bucket(n: int, buckets) -> int:
     return buckets[-1]
 
 
-def _sample_rows(logits, keys, temps, top_k):
-    """Vectorized per-slot sampling: greedy where temperature == 0."""
+def _sample_rows(logits, keys, temps, top_ks, max_top_k):
+    """Vectorized per-slot sampling: greedy where temperature == 0.
+
+    ``top_ks`` is a per-slot int32 vector (0 disables top-k for that slot);
+    ``max_top_k`` is the static compile-time cap — one exact top-``max_top_k``
+    sort serves every slot, each picking its own k-th value as the cutoff."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
-    if top_k is not None:
-        kth = jax.lax.approx_max_k(scaled, top_k)[0][..., -1:]
-        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    if max_top_k is not None:
+        vals = jax.lax.top_k(scaled, max_top_k)[0]  # (B, max_k) desc-sorted
+        idx = jnp.clip(top_ks, 1, max_top_k)[:, None] - 1
+        kth = jnp.take_along_axis(vals, idx, axis=1)  # (B, 1)
+        scaled = jnp.where((top_ks > 0)[:, None] & (scaled < kth), -jnp.inf, scaled)
     sampled = jax.vmap(jax.random.categorical)(keys, scaled).astype(jnp.int32)
     return jnp.where(temps == 0.0, greedy, sampled)
 
@@ -122,6 +130,7 @@ class DecodeEngine:
         self.slot_pos = np.zeros((self.B,), np.int32)
         self.last_tok = np.zeros((self.B,), np.int32)
         self.temps = np.zeros((self.B,), np.float32)
+        self.top_ks = np.zeros((self.B,), np.int32)  # 0 = slot top-k disabled
         self.key = jax.random.PRNGKey(seed)
         # host-side state
         self.slot_req: List[Optional[Request]] = [None] * self.B
@@ -146,7 +155,7 @@ class DecodeEngine:
         )
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def prefill(cache, params, tokens, slot, true_len, temp, key):
+        def prefill(cache, params, tokens, slot, true_len, temp, tk, key):
             """tokens: (1, T_bucket). Writes slot's cache rows [0, T) and
             samples the first generated token from the last real position."""
             T = tokens.shape[1]
@@ -161,14 +170,15 @@ class DecodeEngine:
             )
             last = jax.lax.dynamic_index_in_dim(logits[0], true_len - 1, keepdims=False)
             tok = _sample_rows(
-                last[None].astype(jnp.float32), key[None], temp[None], top_k_static
+                last[None].astype(jnp.float32), key[None], temp[None], tk[None],
+                top_k_static,
             )[0]
             return cache, tok
 
         @functools.partial(
             jax.jit, donate_argnums=(0,), static_argnames=("n_steps",)
         )
-        def step(cache, params, tokens, slot_pos, temps, key, n_steps=1):
+        def step(cache, params, tokens, slot_pos, temps, top_ks, key, n_steps=1):
             """n_steps decode steps fully on device — the host syncs once per
             chunk instead of once per token (the per-step host round trip costs
             more than the compute on remote-attached TPUs)."""
@@ -179,7 +189,8 @@ class DecodeEngine:
                 key, sub = jax.random.split(key)
                 keys = jax.random.split(sub, tok.shape[0])
                 nxt = _sample_rows(
-                    logits[:, -1].astype(jnp.float32), keys, temps, top_k_static
+                    logits[:, -1].astype(jnp.float32), keys, temps, top_ks,
+                    top_k_static,
                 )
                 return (cache, nxt, pos + 1, key), nxt
 
@@ -198,13 +209,30 @@ class DecodeEngine:
         prompt: np.ndarray,
         max_new_tokens: int,
         temperature: float = 0.0,
-        top_k: Optional[int] = None,  # accepted for API parity; engine-wide value applies
+        top_k: Optional[int] = None,  # None -> engine default; must be <= the engine cap
         eos_id: Optional[int] = None,
     ) -> int:
+        if top_k is None:
+            tk = self.top_k or 0
+        else:
+            if self.top_k is None:
+                raise ValueError(
+                    "per-request top_k requires the engine to be built with a "
+                    "top_k cap (DecodeEngine(top_k=...)); this engine has none"
+                )
+            if not (1 <= top_k <= self.top_k):
+                raise ValueError(
+                    f"top_k={top_k} out of range [1, {self.top_k}] (the engine "
+                    "cap is a compile-time constant; raise DecodeEngine(top_k=...))"
+                )
+            tk = top_k
         prompt = np.asarray(prompt, np.int32)
         if len(prompt) >= self.S:
             prompt = prompt[-(self.S - 1) :]
-        req = Request(next(self._ids), prompt, max_new_tokens, temperature, eos_id)
+        req = Request(
+            next(self._ids), prompt, max_new_tokens, temperature, top_k=tk,
+            eos_id=eos_id,
+        )
         self.queue.append(req)
         return req.id
 
@@ -236,6 +264,7 @@ class DecodeEngine:
             jnp.asarray(self.last_tok),
             jnp.asarray(self.slot_pos),
             jnp.asarray(self.temps),
+            jnp.asarray(self.top_ks),
             sub,
             n_steps=n,
         )
@@ -269,6 +298,7 @@ class DecodeEngine:
                 jnp.int32(b),
                 jnp.int32(T),
                 jnp.float32(req.temperature),
+                jnp.int32(req.top_k),
                 sub,
             )
             tok = int(tok)
@@ -278,6 +308,7 @@ class DecodeEngine:
             self.slot_pos[b] = T
             self.last_tok[b] = tok
             self.temps[b] = req.temperature
+            self.top_ks[b] = req.top_k
             if self._finished(req):
                 self._retire(b)
 
@@ -311,3 +342,4 @@ class DecodeEngine:
         self.slot_req[b] = None
         self.slot_pos[b] = 0
         self.temps[b] = 0.0
+        self.top_ks[b] = 0

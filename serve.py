@@ -135,11 +135,12 @@ def main(
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
+                top_k = body.get("top_k")
                 req = server.submit(
                     body.get("prompt", ""),
                     int(body.get("max_new_tokens", 50)),
                     float(body.get("temperature", 0.8)),
-                    body.get("top_k", 200),
+                    None if top_k is None else int(top_k),
                 )
                 text = tokenizer.decode(req.generated)
                 self._json(
@@ -151,6 +152,8 @@ def main(
                         "total_ms": round((req.done_t - req.submit_t) * 1e3, 1),
                     },
                 )
+            except ValueError as e:
+                self._json(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001
                 self._json(500, {"error": str(e)})
 

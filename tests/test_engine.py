@@ -79,6 +79,27 @@ def test_engine_eos_and_ttft(setup):
     assert done[rid].ttft is not None and done[rid].ttft >= 0
 
 
+def test_engine_per_request_top_k(setup):
+    """top_k is honored per request (advisor round-1: it was silently ignored).
+    top_k=1 with temperature>0 must equal greedy; out-of-cap values reject."""
+    cfg, params = setup
+    rng = np.random.default_rng(4)
+    p1 = rng.integers(1, 97, size=7).astype(np.int32)
+    p2 = rng.integers(1, 97, size=7).astype(np.int32)
+    eng = DecodeEngine(params, cfg, max_batch=2, top_k=50, seed=7)
+    # slot A: top_k=1 sampling == greedy; slot B: default top_k, hot sampling
+    i1 = eng.submit(p1, 8, temperature=1.0, top_k=1)
+    i2 = eng.submit(p2, 8, temperature=5.0)
+    done = eng.run()
+    assert done[i1].generated == ref_greedy(params, cfg, p1, 8)
+    assert len(done[i2].generated) == 8
+    with pytest.raises(ValueError):
+        eng.submit(p1, 4, top_k=51)  # above the engine cap
+    eng_nofilter = DecodeEngine(params, cfg, max_batch=1, top_k=None)
+    with pytest.raises(ValueError):
+        eng_nofilter.submit(p1, 4, top_k=5)
+
+
 def test_engine_tensor_parallel_matches_single_device(setup):
     """Continuous batching over a model-parallel mesh (shard_map TP) produces
     the same greedy tokens as the single-device engine."""

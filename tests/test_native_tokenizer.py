@@ -27,6 +27,12 @@ TEXTS = [
     "unicode: déjà vu — ça va? ✓",
     "a",
     "the " * 200,
+    # normalization must collapse ONLY ASCII space (0x20): \n / \t / NBSP are
+    # preserved for byte fallback (sentencepiece semantics; advisor round-1).
+    "line one\nline two\n\nline four",
+    "tab\tseparated\tvalues",
+    "nbsp here and  doubled",
+    " \n leading mix \n ",
 ]
 
 

@@ -109,6 +109,20 @@ def test_int8_kernel_non_divisible_N(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("K", [768, 11008])
+def test_int8_kernel_non_divisible_K(rng, K):
+    """K that 512 does not divide (7B MLP down-projection is K=11008,
+    11008 % 512 == 256): a floored K grid silently dropped the remainder
+    rows (advisor round-1 high finding). block_k must divide K."""
+    N = 256
+    x = jnp.asarray(rng.normal(size=(2, K)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(K, N)) * 0.02, jnp.float32)
+    q = linear_ops.quantize_int8(w)
+    ref = quant_matmul.matmul_int8_xla(x, q["qw"], q["qscale"], jnp.float32)
+    got = qmp.matmul_int8(x, q["qw"], q["qscale"], jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
 def test_int4_kernel_single_group(rng):
     """groupsize == -1 (one group spanning the whole contraction dim)."""
     K, N = 128, 256

@@ -85,6 +85,21 @@ def test_get_batch_padding_and_bucketing():
     assert (y[x == 0] == sft.IGNORE_INDEX).all()
 
 
+def test_get_batch_is_next_token_aligned():
+    # Regression: labels must be the NEXT token for each input position, not a
+    # copy objective (advisor round-1 high finding). With input_ids == labels ==
+    # [10, 11, 12, ...], y[t] must equal x[t] + 1 at every valid position.
+    rng = np.random.default_rng(0)
+    seq = np.arange(10, 30, dtype=np.int32)
+    data = [{"input_ids": seq, "labels": seq.copy()}]
+    x, y = sft.get_batch(data, batch_size=1, rng=rng, accum_steps=1, pad_multiple=8)
+    valid = y != sft.IGNORE_INDEX
+    assert valid.any()
+    np.testing.assert_array_equal(y[valid], x[valid] + 1)
+    # the final input token of the sample is dropped (it has no next token)
+    assert x.max() == seq[-2]
+
+
 def test_length_grouped_indices_longest_first():
     rng = np.random.default_rng(0)
     lengths = list(rng.integers(1, 100, size=500))

@@ -61,6 +61,25 @@ def test_byte_fallback():
     assert m.decode(ids) == "hi é"
 
 
+def test_normalize_preserves_newlines():
+    # sentencepiece's remove_extra_whitespaces collapses ONLY ASCII space
+    # (0x20); \n, \t, NBSP survive normalization and round-trip via byte
+    # fallback (advisor round-1: str.split() was eating them).
+    pieces = [
+        Piece("<unk>", 0.0, UNKNOWN),
+        Piece("<s>", 0.0, CONTROL),
+        Piece("</s>", 0.0, CONTROL),
+    ]
+    pieces += [Piece(f"<0x{b:02X}>", 0.0, BYTE) for b in range(256)]
+    pieces += [Piece("hi", -1.0), Piece("▁hi", -2.0)]
+    m = SPModel(pieces=pieces, model_type=2, byte_fallback=True)
+    assert m._normalize("a\nb") == "▁a\nb"
+    assert m._normalize("  a   b\t c  ") == "▁a▁b\t▁c"
+    text = "hi\nhi\thi hi"
+    assert m.decode(m.encode(text)) == text
+    assert m.vocab["<0x0A>"] in m.encode("hi\nhi")
+
+
 def test_unigram_viterbi():
     pieces = [
         Piece("<unk>", 0.0, UNKNOWN),
