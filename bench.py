@@ -26,6 +26,9 @@ import jax.numpy as jnp
 from lit_llama_tpu import LLaMAConfig
 from lit_llama_tpu.models import generate as gen
 from lit_llama_tpu.models import llama
+from lit_llama_tpu.utils.cli import enable_compilation_cache
+
+enable_compilation_cache()
 
 BASELINE_TOK_S = 10.0  # reference TPU v4-8 bf16 decode (howto/tpus.md:37-41)
 

@@ -42,16 +42,22 @@ def main(
     from lit_llama_tpu.models.config import AdapterConfig
     from lit_llama_tpu.models.generate import generate
     from lit_llama_tpu.peft import adapter as adapter_mod
-    from lit_llama_tpu.utils import checkpoint as ckpt
-    from lit_llama_tpu.utils.loader import load_model
-
-    import jax.numpy as jnp
+    from lit_llama_tpu.utils.loader import load_model, load_peft_checkpoint
 
     params, config = load_model(Path(checkpoint_path))
-    config = config.replace(adapter=AdapterConfig(v2=ADAPTER_V2))
+    # native dir from finetune/adapter*.py OR a reference-format .pth adapter
+    # state dict (incl. old scalar-gate checkpoints, reference adapter.py:176-190)
+    kind, state, info = load_peft_checkpoint(Path(adapter_path), config)
+    if kind != "adapter":
+        raise ValueError(f"{adapter_path} is a {kind} checkpoint, not adapter")
+    config = config.replace(
+        adapter=AdapterConfig(
+            v2=ADAPTER_V2 or info["v2"],
+            prompt_length=info["prompt_length"],
+            start_layer=info["start_layer"],
+        )
+    )
     params = adapter_mod.add_adapter_params(params, config)
-    tree = ckpt.load_checkpoint(Path(adapter_path), transform=lambda n, a: jnp.asarray(a))
-    state = tree["params"] if "params" in tree else tree
     params = adapter_mod.load_adapter_state(params, state)
     from lit_llama_tpu.models.llama import unstack_layers
 

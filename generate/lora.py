@@ -43,17 +43,15 @@ def main(
     from lit_llama_tpu.models.config import LoRAConfig
     from lit_llama_tpu.models.generate import generate
     from lit_llama_tpu.peft import lora as lora_mod
-    from lit_llama_tpu.utils import checkpoint as ckpt
-    from lit_llama_tpu.utils.loader import load_model
-
-    import jax.numpy as jnp
+    from lit_llama_tpu.utils.loader import load_model, load_peft_checkpoint
 
     params, config = load_model(Path(checkpoint_path))
-    tree = ckpt.load_checkpoint(Path(lora_path), transform=lambda n, a: jnp.asarray(a))
-    lora_params = tree["params"] if "params" in tree else tree
-    # infer rank from lora_b (L, n_en, r, D) (reference: convert_lora_weights.py:28-32)
-    r = int(lora_params["h"]["attn"]["c_attn"]["lora_b"].shape[-2])
-    config = config.replace(lora=LoRAConfig(r=r, alpha=lora_alpha, dropout=0.0))
+    # native dir from finetune/lora.py OR a reference-format .pth adapter
+    # (rank inferred from the weights, reference: convert_lora_weights.py:28-32)
+    kind, lora_params, info = load_peft_checkpoint(Path(lora_path), config)
+    if kind != "lora":
+        raise ValueError(f"{lora_path} is a {kind} checkpoint, not LoRA")
+    config = config.replace(lora=LoRAConfig(r=info["r"], alpha=lora_alpha, dropout=0.0))
     params = lora_mod.load_lora_state(params, lora_params)
     from lit_llama_tpu.models.llama import unstack_layers
 

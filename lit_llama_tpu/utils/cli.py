@@ -73,6 +73,29 @@ def _apply_platform_override() -> None:
             jax.config.update("jax_platforms", plat)
         except Exception:
             pass
+    enable_compilation_cache()
+
+
+def enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes (cold 7B compiles take tens of
+    seconds to minutes through the remote-compile service; a second run of the
+    same CLI should skip them entirely). Opt out / relocate with
+    LIT_LLAMA_TPU_COMPILE_CACHE=off|<dir>."""
+    import os
+
+    knob = os.environ.get("LIT_LLAMA_TPU_COMPILE_CACHE", "")
+    if knob.lower() in ("off", "0", "none"):
+        return
+    cache_dir = knob or os.path.expanduser("~/.cache/lit_llama_tpu/xla")
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache everything that took XLA >1s to build, however small the graph
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
 
 def cli(fn: Callable, args: Optional[list] = None):

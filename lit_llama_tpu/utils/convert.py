@@ -17,7 +17,7 @@ Our pytree differs from all three on purpose (TPU-first):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Mapping
+from typing import Any, Callable, Dict, Mapping, Optional
 
 import numpy as np
 
@@ -228,6 +228,198 @@ def lit_to_pytree(
         },
     }
     return params
+
+
+# ---------------------------------------------------------------------------
+# Reference-format PEFT checkpoints (LoRA / adapter v1+v2) -> overlay pytrees
+# ---------------------------------------------------------------------------
+
+
+def peft_sd_kind(sd: Mapping[str, Array]) -> Optional[str]:
+    """Classify a reference-format flat state dict: 'lora' | 'adapter' | None.
+
+    Reference LoRA checkpoints hold only ``*.lora_A``/``*.lora_B`` entries
+    (lora_state_dict, reference lit_llama/lora.py:364-395); adapter checkpoints
+    hold ``*.adapter_wte.weight``/``*.gating_factor`` (+ v2's ``adapter_bias``/
+    ``adapter_scale``/norm scales, adapter_v2.py:11-27)."""
+    for name in sd:
+        if "lora_A" in name or "lora_B" in name:
+            return "lora"
+        if "adapter_wte" in name or "gating_factor" in name:
+            return "adapter"
+    return None
+
+
+def lora_sd_to_overlay(
+    sd: Mapping[str, Array], config: LLaMAConfig, dtype=None
+) -> Dict[str, Any]:
+    """Reference LoRA state dict -> our LoRA overlay pytree, returning
+    ``({"h": {"attn": {"c_attn": {"lora_a", "lora_b"}}}}, r)``.
+
+    Reference layout per layer (lit_llama/lora.py:150-162):
+      ``lora_A``: (Σenable·r, D) — stacked per-enabled-group (r, D) blocks, rows
+      ordered [q-block; v-block] for the default enable=[T, F, T];
+      ``lora_B``: (Σenable·D_group, r) — stacked per-group (D, r) conv1d filters.
+    Ours (peft/lora.py:17-18): ``lora_a`` (L, D, Σenable·r) = lora_A.T stacked;
+    ``lora_b`` (L, n_en, r, D) with b[g] = lora_B[g·D:(g+1)·D].T.
+    """
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(dtype or config.param_dtype)
+    L, D = config.n_layer, config.n_embd
+    enable = config.lora.enable if config.lora is not None else (True, False, True)
+    n_en = sum(enable)
+    a_list, b_list = [], []
+    r = None
+    for i in range(L):
+        A = _materialize(sd[f"transformer.h.{i}.attn.c_attn.lora_A"]).astype(np.float32)
+        B = _materialize(sd[f"transformer.h.{i}.attn.c_attn.lora_B"]).astype(np.float32)
+        r = A.shape[0] // n_en
+        group = B.shape[0] // n_en  # == D for the fused c_attn
+        a_list.append(A.T)  # (D, n_en*r)
+        b_list.append(
+            np.stack([B[g * group : (g + 1) * group, :].T for g in range(n_en)])
+        )  # (n_en, r, group)
+    overlay = {
+        "h": {
+            "attn": {
+                "c_attn": {
+                    "lora_a": jnp.asarray(np.stack(a_list), dtype),
+                    "lora_b": jnp.asarray(np.stack(b_list), dtype),
+                }
+            }
+        }
+    }
+    return overlay, int(r)
+
+
+def lora_overlay_to_sd(
+    overlay: Dict[str, Any], config: LLaMAConfig
+) -> Dict[str, np.ndarray]:
+    """Our LoRA overlay pytree -> reference-format state dict (export parity)."""
+    c_attn = overlay["h"]["attn"]["c_attn"]
+    a = np.asarray(c_attn["lora_a"], np.float32)  # (L, D, n_en*r)
+    b = np.asarray(c_attn["lora_b"], np.float32)  # (L, n_en, r, D)
+    out: Dict[str, np.ndarray] = {}
+    for i in range(a.shape[0]):
+        out[f"transformer.h.{i}.attn.c_attn.lora_A"] = a[i].T
+        out[f"transformer.h.{i}.attn.c_attn.lora_B"] = np.concatenate(
+            [b[i, g].T for g in range(b.shape[1])], axis=0
+        )
+    return out
+
+
+def adapter_sd_to_overlay(
+    sd: Mapping[str, Array], config: LLaMAConfig, dtype=None
+) -> Dict[str, Any]:
+    """Reference adapter (v1 or v2) state dict -> our overlay pytree, returning
+    ``(overlay, prompt_length, start_layer, is_v2)``.
+
+    Reference stores ``adapter_wte.weight`` (aT, D) and ``gating_factor`` only on
+    layers >= adapter_start_layer (adapter.py:74-79); old checkpoints carry a
+    single scalar gate which newer code broadcasts per-head
+    (adapter.py:176-190) — reproduced here. v2 adds per-linear
+    ``adapter_bias``/``adapter_scale`` and the RMSNorm scales
+    (adapter_v2.py:11-48). Layers below the start layer get zero prompts/gates in
+    the stacked layout; ``adapter_active`` masks them out of the forward.
+    """
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(dtype or config.param_dtype)
+    L, D, H = config.n_layer, config.n_embd, config.n_head
+    wte_by_layer: Dict[int, np.ndarray] = {}
+    gate_by_layer: Dict[int, np.ndarray] = {}
+    for name, tensor in sd.items():
+        if ".attn.adapter_wte.weight" in name:
+            wte_by_layer[int(name.split(".")[2])] = _materialize(tensor).astype(np.float32)
+        elif ".attn.gating_factor" in name:
+            g = _materialize(tensor).astype(np.float32)
+            if g.ndim < 4:  # old single-gate checkpoints -> broadcast per head
+                g = np.full((H,), float(g.reshape(-1)[0]), np.float32)
+            else:  # (1, H, 1, 1)
+                g = g.reshape(H)
+            gate_by_layer[int(name.split(".")[2])] = g
+    if not wte_by_layer:
+        raise ValueError("no adapter_wte entries — not a reference adapter checkpoint")
+    start_layer = min(wte_by_layer)
+    aT = next(iter(wte_by_layer.values())).shape[0]
+    wte = np.zeros((L, aT, D), np.float32)
+    gating = np.zeros((L, H), np.float32)
+    for i, w in wte_by_layer.items():
+        wte[i] = w
+    for i, g in gate_by_layer.items():
+        gating[i] = g
+    overlay: Dict[str, Any] = {
+        "h": {
+            "adapter_wte": jnp.asarray(wte, dtype),
+            "gating": jnp.asarray(gating, dtype),
+            "adapter_active": jnp.asarray(
+                (np.arange(L) >= start_layer).astype(np.float32)[:, None], dtype
+            ),
+        }
+    }
+
+    is_v2 = any("adapter_bias" in name for name in sd)
+    if is_v2:
+        h = overlay["h"]
+        V = config.padded_vocab_size
+
+        def stack_v2(lit_name: str, ours: tuple, out_dim: int) -> None:
+            bias = np.zeros((L, 1, out_dim), np.float32)
+            scale = np.ones((L, 1, out_dim), np.float32)
+            for i in range(L):
+                b = sd.get(f"transformer.h.{i}.{lit_name}.adapter_bias")
+                s = sd.get(f"transformer.h.{i}.{lit_name}.adapter_scale")
+                if b is not None:
+                    bias[i, 0] = _materialize(b).astype(np.float32)
+                if s is not None:
+                    scale[i, 0] = _materialize(s).astype(np.float32)
+            node = h
+            for k in ours:
+                node = node.setdefault(k, {})
+            node["av2_bias"] = jnp.asarray(bias, dtype)
+            node["av2_scale"] = jnp.asarray(scale, dtype)
+
+        stack_v2("attn.c_attn", ("attn", "c_attn"), 3 * D)
+        stack_v2("attn.c_proj", ("attn", "c_proj"), D)
+        stack_v2("mlp.c_fc1", ("mlp", "c_fc1"), config.intermediate_size)
+        stack_v2("mlp.c_fc2", ("mlp", "c_fc2"), config.intermediate_size)
+        stack_v2("mlp.c_proj", ("mlp", "c_proj"), D)
+
+        def pad_cols(arr: np.ndarray, fill: float) -> np.ndarray:
+            if arr.shape[-1] < V:
+                arr = np.concatenate(
+                    [arr, np.full(arr.shape[:-1] + (V - arr.shape[-1],), fill, np.float32)],
+                    axis=-1,
+                )
+            return arr
+
+        if "lm_head.adapter_bias" in sd:
+            overlay["lm_head"] = {
+                "av2_bias": jnp.asarray(
+                    pad_cols(_materialize(sd["lm_head.adapter_bias"]).astype(np.float32)[None, :], 0.0),
+                    dtype,
+                ),
+                "av2_scale": jnp.asarray(
+                    pad_cols(_materialize(sd["lm_head.adapter_scale"]).astype(np.float32)[None, :], 1.0),
+                    dtype,
+                ),
+            }
+        rms1 = [sd.get(f"transformer.h.{i}.rms_1.scale") for i in range(L)]
+        rms2 = [sd.get(f"transformer.h.{i}.rms_2.scale") for i in range(L)]
+        if all(t is not None for t in rms1):
+            h["rms_1"] = jnp.asarray(
+                np.stack([_materialize(t).astype(np.float32) for t in rms1]), dtype
+            )
+        if all(t is not None for t in rms2):
+            h["rms_2"] = jnp.asarray(
+                np.stack([_materialize(t).astype(np.float32) for t in rms2]), dtype
+            )
+        if "transformer.ln_f.scale" in sd:
+            overlay["ln_f"] = jnp.asarray(
+                _materialize(sd["transformer.ln_f.scale"]).astype(np.float32), dtype
+            )
+    return overlay, int(aT), int(start_layer), is_v2
 
 
 def pytree_to_lit(params: Dict[str, Any], config: LLaMAConfig) -> Dict[str, np.ndarray]:

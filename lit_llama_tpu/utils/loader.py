@@ -82,3 +82,53 @@ def load_model(
     if config.quantize is not None:
         params = llama.quantize_params(params, config)
     return params, config
+
+
+def load_peft_checkpoint(
+    path: Path, config: LLaMAConfig
+) -> Tuple[str, Dict[str, Any], Dict[str, Any]]:
+    """Load a PEFT (LoRA / adapter) checkpoint in either format.
+
+    Accepts our native manifest directories (from finetune/*.py) AND
+    reference-format torch ``.pth`` state dicts as written by the reference's
+    finetune scripts (lora_state_dict, reference lit_llama/lora.py:364-395;
+    adapter_state_from_state_dict, adapter.py:313-315; v2, adapter_v2.py:24-27)
+    — a user's reference-trained adapters run here unchanged.
+
+    Returns ``(kind, overlay, info)``: kind is 'lora' or 'adapter'; overlay is
+    the pytree for peft.lora.load_lora_state / peft.adapter.load_adapter_state;
+    info holds inferred hyperparameters ('r' for LoRA; 'prompt_length',
+    'start_layer', 'v2' for adapter).
+    """
+    path = Path(path)
+    if path.is_dir():
+        tree = ckpt.load_checkpoint(path, transform=lambda n, a: jnp.asarray(a))
+        overlay = tree["params"] if "params" in tree else tree
+        h = overlay.get("h", {})
+        if "attn" in h and "lora_a" in h.get("attn", {}).get("c_attn", {}):
+            r = int(h["attn"]["c_attn"]["lora_b"].shape[-2])
+            return "lora", overlay, {"r": r}
+        if "adapter_wte" in h:
+            active = jnp.asarray(h["adapter_active"][:, 0])
+            start_layer = int(jnp.argmax(active)) if bool(active.any()) else 0
+            is_v2 = "av2_bias" in h.get("attn", {}).get("c_attn", {})
+            return "adapter", overlay, {
+                "prompt_length": int(h["adapter_wte"].shape[1]),
+                "start_layer": start_layer,
+                "v2": is_v2,
+            }
+        raise ValueError(f"{path} is not a LoRA or adapter checkpoint")
+
+    sd = load_pth(path)
+    kind = convert.peft_sd_kind(sd)
+    if kind == "lora":
+        overlay, r = convert.lora_sd_to_overlay(sd, config)
+        return "lora", overlay, {"r": r}
+    if kind == "adapter":
+        overlay, aT, start_layer, is_v2 = convert.adapter_sd_to_overlay(sd, config)
+        return "adapter", overlay, {
+            "prompt_length": aT,
+            "start_layer": start_layer,
+            "v2": is_v2,
+        }
+    raise ValueError(f"{path} holds neither LoRA nor adapter entries")

@@ -32,14 +32,15 @@ def main(
     from lit_llama_tpu.training.loop import _config_meta
     from lit_llama_tpu.utils import checkpoint as ckpt
     from lit_llama_tpu.utils import convert
-    from lit_llama_tpu.utils.loader import load_model
+    from lit_llama_tpu.utils.loader import load_model, load_peft_checkpoint
     from lit_llama_tpu.utils.pth_reader import save_pth
 
     params, config = load_model(Path(checkpoint_path), dtype="float32")
-    tree = ckpt.load_checkpoint(Path(lora_path), transform=lambda n, a: jnp.asarray(a))
-    lora_params = tree["params"] if "params" in tree else tree
-    r = int(lora_params["h"]["attn"]["c_attn"]["lora_b"].shape[-2])
-    config = config.replace(lora=LoRAConfig(r=r, alpha=lora_alpha, dropout=0.0))
+    # native dir from finetune/lora.py OR a reference-format .pth LoRA state dict
+    kind, lora_params, info = load_peft_checkpoint(Path(lora_path), config)
+    if kind != "lora":
+        raise ValueError(f"{lora_path} is a {kind} checkpoint, not LoRA")
+    config = config.replace(lora=LoRAConfig(r=info["r"], alpha=lora_alpha, dropout=0.0))
     params = lora_mod.load_lora_state(params, lora_params)
     merged = lora_mod.merge_lora(params, config)
 
