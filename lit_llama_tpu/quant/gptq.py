@@ -59,15 +59,27 @@ def _hinv_cholesky(H: jnp.ndarray, damp_frac: float = 0.01) -> jnp.ndarray:
     return jnp.linalg.cholesky(Hinv).T
 
 
-@functools.partial(jax.jit, static_argnames=("groupsize", "blocksize"))
+@functools.partial(jax.jit, static_argnames=("groupsize", "blocksize", "actorder"))
 def gptq_quantize_matrix(
     w: jnp.ndarray,  # (in, out) f32
     H: jnp.ndarray,  # (in, in) f32
     groupsize: int = 128,
     blocksize: int = 128,
+    actorder: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (q, scale, zero): q (in, out) int levels in [0,15],
-    scale/zero (in/gs, out). Asymmetric 4-bit, per-(group, out-channel)."""
+    scale/zero (in/gs, out). Asymmetric 4-bit, per-(group, out-channel).
+
+    ``actorder=True`` walks rows in descending-diag(H) order so high-curvature
+    rows quantize first and later rows absorb their error (reference:
+    quantization.py:542-545, 595-597). The reference re-quantizes the
+    inverse-permuted weights against permuted-group scales on repack
+    (quantization.py:602-613), losing exactness; here group scale/zero come
+    from the ORIGINAL group membership ("static groups"), each permuted row
+    quantizes against its natural group's parameters, and the levels scatter
+    straight back to natural order — the packed Pallas layout is untouched and
+    dequantization stays exact.
+    """
     in_f, out_f = w.shape
     gs = in_f if groupsize == -1 else groupsize
     n_groups = in_f // gs
@@ -75,39 +87,60 @@ def gptq_quantize_matrix(
     while in_f % blocksize:
         blocksize //= 2
     w = w.astype(jnp.float32)
+
+    if actorder:
+        perm = jnp.argsort(-jnp.diag(H))
+        w = w[perm]
+        H = H[perm][:, perm]
+        # static group parameters from the pre-walk weights, natural grouping
+        blk = w[jnp.argsort(perm)].reshape(n_groups, gs, out_f)
+        wmin0 = jnp.minimum(jnp.min(blk, axis=1), 0.0)
+        wmax0 = jnp.maximum(jnp.max(blk, axis=1), 0.0)
+        static_scales = jnp.maximum((wmax0 - wmin0) / 15.0, 1e-12)
+        static_zeros = wmin0
+        group_of_row = perm // gs  # natural group id of each permuted row
+    else:
+        perm = None
+        group_of_row = None
     Hinv = _hinv_cholesky(H)
 
     q_all = jnp.zeros((in_f, out_f), jnp.float32)
-    scales = jnp.zeros((n_groups, out_f), jnp.float32)
-    zeros = jnp.zeros((n_groups, out_f), jnp.float32)
+    scales = static_scales if actorder else jnp.zeros((n_groups, out_f), jnp.float32)
+    zeros = static_zeros if actorder else jnp.zeros((n_groups, out_f), jnp.float32)
 
     def row_step(i, carry):
         """One row inside the current block: quantize + immediate in-block update."""
         w, q_all, scales, zeros, err_blk, i0 = carry
         idx = i0 + i
 
-        # group boundary: re-estimate scale/zero from the *current* rows
-        def new_scale(_):
-            g = idx // gs
-            blk = jax.lax.dynamic_slice(w, (g * gs, 0), (gs, out_f))
-            wmin = jnp.minimum(jnp.min(blk, axis=0), 0.0)
-            wmax = jnp.maximum(jnp.max(blk, axis=0), 0.0)
-            s = jnp.maximum((wmax - wmin) / 15.0, 1e-12)
-            return s, wmin
+        if actorder:
+            g = group_of_row[idx]
+            s, z = scales[g], zeros[g]
+            out_row = perm[idx]  # natural row to receive the levels
+        else:
+            # group boundary: re-estimate scale/zero from the *current* rows
+            def new_scale(_):
+                g = idx // gs
+                blk = jax.lax.dynamic_slice(w, (g * gs, 0), (gs, out_f))
+                wmin = jnp.minimum(jnp.min(blk, axis=0), 0.0)
+                wmax = jnp.maximum(jnp.max(blk, axis=0), 0.0)
+                s = jnp.maximum((wmax - wmin) / 15.0, 1e-12)
+                return s, wmin
 
-        def old_scale(_):
-            g = idx // gs
-            return scales[g], zeros[g]
+            def old_scale(_):
+                g = idx // gs
+                return scales[g], zeros[g]
 
-        s, z = jax.lax.cond(idx % gs == 0, new_scale, old_scale, None)
-        g = idx // gs
-        scales = scales.at[g].set(s)
-        zeros = zeros.at[g].set(z)
+            s, z = jax.lax.cond(idx % gs == 0, new_scale, old_scale, None)
+            g = idx // gs
+            scales = scales.at[g].set(s)
+            zeros = zeros.at[g].set(z)
+            out_row = idx
 
         wrow = jax.lax.dynamic_slice(w, (idx, 0), (1, out_f))[0]
         qrow = jnp.clip(jnp.round((wrow - z) / s), 0.0, 15.0)
         dq = qrow * s + z
-        q_all = jax.lax.dynamic_update_slice(q_all, qrow[None], (idx, 0))
+        q_all = jax.lax.dynamic_update_slice(q_all, qrow[None], (out_row, 0))
 
         d = Hinv[idx, idx]
         err = (wrow - dq) / d
@@ -198,6 +231,7 @@ def quantize_model_gptq(
     calib_tokens: jnp.ndarray,  # (n_samples, T) int32
     groupsize: int = 128,
     batch: int = 4,
+    actorder: bool = False,
 ) -> Params:
     """Sequential block-wise GPTQ over the whole model: quantize the 5 per-block
     linears + lm_head, propagating error-compensated activations block to block
@@ -228,7 +262,7 @@ def quantize_model_gptq(
         # quantize each linear
         for t in _BLOCK_TARGETS:
             w = _get(lp, t)["w"].astype(jnp.float32)
-            q, s, z = gptq_quantize_matrix(w, Hs[t], groupsize=groupsize)
+            q, s, z = gptq_quantize_matrix(w, Hs[t], groupsize=groupsize, actorder=actorder)
             _get(lp, t).pop("w")
             _get(lp, t)["qw"] = pack_q4(q)
             _get(lp, t)["qscale"] = s
@@ -257,7 +291,8 @@ def quantize_model_gptq(
     for b in range(0, n_samples, batch):
         Hlm = accumulate_hessian(Hlm, h_final[b : b + batch])
     q, s, z = gptq_quantize_matrix(
-        params["lm_head"]["w"].astype(jnp.float32), Hlm, groupsize=groupsize
+        params["lm_head"]["w"].astype(jnp.float32), Hlm, groupsize=groupsize,
+        actorder=actorder
     )
     out["lm_head"] = {"qw": pack_q4(q), "qscale": s, "qzero": z}
     return out

@@ -120,8 +120,11 @@ def loss_fn(
     targets: jnp.ndarray,
     config: LLaMAConfig,
     remat: bool = True,
+    remat_policy: str = "dots",
 ) -> jnp.ndarray:
-    logits, _ = llama.forward(params, input_ids, config, remat=remat)
+    logits, _ = llama.forward(
+        params, input_ids, config, remat=remat, remat_policy=remat_policy
+    )
     return cross_entropy_loss(logits, targets)
 
 
@@ -132,7 +135,7 @@ def init_train_state(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "optimizer", "remat")
+    jax.jit, static_argnames=("config", "optimizer", "remat", "remat_policy")
 )
 def train_step(
     state: TrainState,
@@ -141,6 +144,7 @@ def train_step(
     config: LLaMAConfig,
     optimizer: optax.GradientTransformation,
     remat: bool = True,
+    remat_policy: str = "dots",
 ) -> Tuple[TrainState, jnp.ndarray]:
     """One optimizer step over ``A`` microbatches.
 
@@ -153,7 +157,7 @@ def train_step(
     def micro(carry, mb):
         loss_sum, grad_sum = carry
         ids, tgt = mb
-        loss, grads = grad_of(state.params, ids, tgt, config, remat)
+        loss, grads = grad_of(state.params, ids, tgt, config, remat, remat_policy)
         return (
             (loss_sum + loss, jax.tree_util.tree_map(jnp.add, grad_sum, grads)),
             None,

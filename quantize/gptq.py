@@ -52,6 +52,7 @@ def main(
     groupsize: int = 128,
     batch: int = 4,
     data_file: Optional[Path] = None,
+    actorder: bool = False,
 ) -> None:
     """Blockwise GPTQ int4 quantization of a LLaMA checkpoint.
 
@@ -64,6 +65,7 @@ def main(
         groupsize: Quantization group size along the input dim (reference: 128).
         batch: Calibration forward batch size.
         data_file: Local calibration text; random tokens if omitted and offline.
+        actorder: Quantize rows in descending-diag(H) order (reference: quantization.py:542-545).
     """
     from lit_llama_tpu.data.tokenizer import Tokenizer
     from lit_llama_tpu.quant import gptq
@@ -88,7 +90,8 @@ def main(
 
     t0 = time.perf_counter()
     qparams = gptq.quantize_model_gptq(
-        params, config, jax.numpy.asarray(calib), groupsize=groupsize, batch=batch
+        params, config, jax.numpy.asarray(calib), groupsize=groupsize, batch=batch,
+        actorder=actorder
     )
     print(f"GPTQ done in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 

@@ -26,6 +26,9 @@ def main(
     max_new_tokens: int = 64,
     max_seq_length: int = 256,
     steps_per_sync: int = 8,
+    prefill_chunk: int = 512,
+    prefill_budget: int = 1024,
+    mixed_prompts: bool = False,
     compare_sequential: bool = False,
 ) -> None:
     """Benchmark the continuous-batching engine.
@@ -40,6 +43,10 @@ def main(
         max_new_tokens: Decode length per request.
         max_seq_length: KV-cache length.
         steps_per_sync: Decode steps per host sync.
+        prefill_chunk: Chunked-prefill width (tokens) for long prompts.
+        prefill_budget: Max prefill tokens admitted per engine step.
+        mixed_prompts: Draw prompt lengths log-uniform in [8, max_seq/2]
+            (stresses admission: long prompts must not starve decodes).
         compare_sequential: Also run the one-at-a-time baseline.
     """
     import jax
@@ -74,14 +81,20 @@ def main(
         jax.block_until_ready(params)
 
     rng = np.random.default_rng(0)
+    if mixed_prompts:
+        lens = np.exp(
+            rng.uniform(np.log(8), np.log(max(9, max_seq_length // 2)), n_requests)
+        ).astype(int)
+    else:
+        lens = np.full(n_requests, prompt_len)
     prompts = [
-        rng.integers(1, config.vocab_size, size=prompt_len).astype(np.int32)
-        for _ in range(n_requests)
+        rng.integers(1, config.vocab_size, size=int(n)).astype(np.int32) for n in lens
     ]
 
     engine = DecodeEngine(
         params, config, max_batch=max_batch, max_seq_length=max_seq_length,
-        steps_per_sync=steps_per_sync,
+        steps_per_sync=steps_per_sync, prefill_chunk=prefill_chunk,
+        prefill_budget=prefill_budget,
     )
     # warmup compiles: one prefill bucket + one step
     wid = engine.submit(prompts[0], 2)

@@ -28,6 +28,7 @@ def main(
     data_parallel: int = -1,
     model_parallel: int = 1,
     remat: bool = True,
+    remat_policy: str = "dots",
 ) -> None:
     """Benchmark the jitted training step.
 
@@ -44,6 +45,7 @@ def main(
         data_parallel: Mesh data-axis size.
         model_parallel: Mesh model-axis size.
         remat: Activation rematerialization on the scanned block.
+        remat_policy: 'dots' (save matmul outputs) or 'full' (recompute all).
     """
     import jax
     import jax.numpy as jnp
@@ -87,14 +89,18 @@ def main(
 
     with mesh:
         t0 = time.perf_counter()
-        state, loss = step_lib.train_step(state, ids, ids, config, optimizer, remat)
+        state, loss = step_lib.train_step(
+            state, ids, ids, config, optimizer, remat, remat_policy
+        )
         float(loss)  # value fetch — block_until_ready alone can return early on
         # remote-attached (relay) devices
         compile_s = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         for _ in range(n_iters):
-            state, loss = step_lib.train_step(state, ids, ids, config, optimizer, remat)
+            state, loss = step_lib.train_step(
+            state, ids, ids, config, optimizer, remat, remat_policy
+        )
         float(loss)
         dt = (time.perf_counter() - t0) / n_iters
 

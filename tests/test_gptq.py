@@ -98,3 +98,53 @@ def test_quantize_model_gptq_end_to_end(rng):
     # just require strong correlation with the dense model
     r = np.corrcoef(np.asarray(ref).ravel(), np.asarray(got).ravel())[0, 1]
     assert r > 0.95
+
+
+def test_gptq_actorder_improves_on_skewed_hessian(rng):
+    """actorder quantizes high-curvature rows first; on a Hessian with strongly
+    skewed diagonal scattered across groups it must not lose to the natural
+    order on the true GPTQ objective tr(ΔᵀHΔ) (reference: quantization.py:542-545)."""
+    in_f, out_f, gs = 256, 128, 64
+    n = 512
+    # inputs whose per-dim energy varies 100x, shuffled so big dims spread
+    # across quantization groups (the case actorder exists for)
+    energy = np.geomspace(0.1, 10.0, in_f)
+    rng.shuffle(energy)
+    x = jnp.asarray(rng.normal(size=(n, in_f)) * energy, jnp.float32)
+    # correlate moderately
+    mix = rng.normal(size=(in_f, in_f)) * 0.2 + np.eye(in_f)
+    x = x @ jnp.asarray(mix, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(in_f, out_f)) * 0.1, jnp.float32)
+    H = gptq.accumulate_hessian(jnp.zeros((in_f, in_f)), x)
+
+    def proxy_loss(q, s, z):
+        delta = w - dequant(q, s, z, gs)
+        return float(jnp.einsum("io,ij,jo->", delta, H, delta))
+
+    loss_nat = proxy_loss(*gptq.gptq_quantize_matrix(w, H, groupsize=gs, blocksize=64))
+    loss_act = proxy_loss(
+        *gptq.gptq_quantize_matrix(w, H, groupsize=gs, blocksize=64, actorder=True)
+    )
+    assert loss_act <= loss_nat * 1.02  # never materially worse ...
+    assert loss_act < loss_nat  # ... and strictly better on this case
+
+
+def test_gptq_actorder_layout_unchanged(rng):
+    """actorder output uses natural-order groups: dequantization with the
+    standard (group-contiguous) layout reconstructs w about as well as without
+    actorder — i.e. no hidden permutation leaks into the packed format."""
+    in_f, out_f, gs = 128, 64, 32
+    w = jnp.asarray(rng.normal(size=(in_f, out_f)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(256, in_f)), jnp.float32)
+    H = gptq.accumulate_hessian(jnp.zeros((in_f, in_f)), x)
+    q, s, z = gptq.gptq_quantize_matrix(w, H, groupsize=gs, actorder=True)
+    assert q.shape == (in_f, out_f) and s.shape == (in_f // gs, out_f)
+    w_hat = dequant(q, s, z, gs)
+    # every dequantized element lies within its natural group's [z, z+15s] range
+    rel = (w_hat.reshape(-1, gs, out_f) - z[:, None, :]) / s[:, None, :]
+    assert float(jnp.min(rel)) >= -1e-4 and float(jnp.max(rel)) <= 15.0 + 1e-4
+    # and reconstruction error stays in the same ballpark as natural order
+    q2, s2, z2 = gptq.gptq_quantize_matrix(w, H, groupsize=gs)
+    e_act = float(jnp.linalg.norm(w - w_hat))
+    e_nat = float(jnp.linalg.norm(w - dequant(q2, s2, z2, gs)))
+    assert e_act < e_nat * 1.5

@@ -65,8 +65,11 @@ def test_flash_attention_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
-def test_flash_attention_grad_matches_xla(rng):
-    B, H, T, hs = 1, 1, 128, 128
+@pytest.mark.parametrize("T", [128, 384])
+def test_flash_attention_grad_matches_xla(rng, T):
+    """Pallas flash2 backward (dq/dk/dv kernels) vs the XLA einsum grads —
+    multi-block T exercises the cross-block accumulators and causal skipping."""
+    B, H, hs = 1, 1, 128
     q = jnp.asarray(rng.normal(size=(B, H, T, hs)), jnp.float32)
     k = jnp.asarray(rng.normal(size=(B, H, T, hs)), jnp.float32)
     v = jnp.asarray(rng.normal(size=(B, H, T, hs)), jnp.float32)
