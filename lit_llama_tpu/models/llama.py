@@ -274,11 +274,18 @@ def _mlp(
     mlp_params: Params, x: jnp.ndarray, tp_axis: Optional[str] = None
 ) -> jnp.ndarray:
     """SwiGLU (reference: lit_llama/model.py:240-254). Under ``tp_axis`` the
-    hidden dim is sharded and the down-projection's partial sum is psum'd."""
-    out = linear(
-        mlp_params["c_proj"],
-        jax.nn.silu(linear(mlp_params["c_fc1"], x)) * linear(mlp_params["c_fc2"], x),
-    )
+    hidden dim is sharded and the down-projection's partial sum is psum'd.
+
+    ``c_fc12`` (gate and up projections concatenated along the output axis by
+    ``unstack_layers``) computes both in ONE matmul/kernel launch — in
+    weight-bound decode each quantized-matmul launch carries a fixed cost, so
+    halving the MLP's up-projection launches is a direct win."""
+    if "c_fc12" in mlp_params:
+        fc1, fc2 = jnp.split(linear(mlp_params["c_fc12"], x), 2, axis=-1)
+    else:
+        fc1 = linear(mlp_params["c_fc1"], x)
+        fc2 = linear(mlp_params["c_fc2"], x)
+    out = linear(mlp_params["c_proj"], jax.nn.silu(fc1) * fc2)
     if tp_axis is not None:
         out = jax.lax.psum(out, tp_axis)
     return out
@@ -457,13 +464,19 @@ def forward(
     return logits, new_cache
 
 
-def unstack_layers(params: Params) -> Params:
+def unstack_layers(params: Params, fuse_mlp: bool = True) -> Params:
     """Convert the stacked (L, ...) layer pytree into a tuple of per-layer trees.
 
     Inference layout: ``forward`` unrolls the layer loop over it so each layer's
     weights feed the Pallas kernels as their own buffers (no per-step
     dynamic-slice copies — see the comment in ``forward``). Training keeps the
     stacked layout (one traced block under ``lax.scan`` + uniform shardings).
+
+    ``fuse_mlp`` additionally concatenates each layer's c_fc1/c_fc2 (same
+    input, same shape) along the output axis into ``c_fc12`` — one matmul
+    launch instead of two per MLP (see ``_mlp``). Works for dense, int8 and
+    int4 leaves and the adapter-v2 bias/scale (all are (..., out)-trailing).
+    The TP layout keeps them separate (parallel/tp.py shards each).
 
     The one-time eager slicing here costs one pass over the weights at load.
     """
@@ -472,10 +485,39 @@ def unstack_layers(params: Params) -> Params:
     h = params["h"]
     L = jax.tree_util.tree_leaves(h)[0].shape[0]
     out = dict(params)
-    out["h"] = tuple(
-        jax.tree_util.tree_map(lambda a: a[l], h) for l in range(L)
-    )
+    layers = []
+    for l in range(L):
+        lp = jax.tree_util.tree_map(lambda a: a[l], h)
+        if fuse_mlp:
+            mlp = lp["mlp"]
+            f1, f2 = mlp["c_fc1"], mlp["c_fc2"]
+            if set(f1) == set(f2):
+                lp["mlp"] = {
+                    "c_fc12": {
+                        k: jnp.concatenate([f1[k], f2[k]], axis=-1) for k in f1
+                    },
+                    "c_proj": mlp["c_proj"],
+                }
+        layers.append(lp)
+    out["h"] = tuple(layers)
     return out
+
+
+def unfuse_mlp_layer(lp: Params) -> Params:
+    """Split a layer's fused ``c_fc12`` back into c_fc1/c_fc2 (layouts that
+    shard the two projections separately, e.g. parallel/tp.py)."""
+    mlp = lp.get("mlp", {})
+    if "c_fc12" not in mlp:
+        return lp
+    fused = mlp["c_fc12"]
+    halves = {k: jnp.split(v, 2, axis=-1) for k, v in fused.items()}
+    new_lp = dict(lp)
+    new_lp["mlp"] = {
+        "c_fc1": {k: v[0] for k, v in halves.items()},
+        "c_fc2": {k: v[1] for k, v in halves.items()},
+        "c_proj": mlp["c_proj"],
+    }
+    return new_lp
 
 
 def stack_layers(params: Params) -> Params:
@@ -483,6 +525,7 @@ def stack_layers(params: Params) -> Params:
     h = params.get("h")
     if not isinstance(h, (list, tuple)):
         return params
+    h = [unfuse_mlp_layer(lp) for lp in h]
     out = dict(params)
     out["h"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *h)
     return out

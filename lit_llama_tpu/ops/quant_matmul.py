@@ -76,15 +76,26 @@ def _pallas_enabled() -> bool:
 def _use_pallas(x, qw, packed: bool = False) -> bool:
     if not _pallas_enabled():
         return False
-    # The Pallas kernel is tuned for weight-bandwidth-bound decode (tiny M).
-    # At prefill/training sizes the matmul is compute-bound, the plain XLA
-    # dequant+dot path is at least as fast, and large M x untiled-K block
-    # combinations can exceed the VMEM budget.
+    in_f = qw.shape[0] * (2 if packed else 1)
+    out_f = qw.shape[1]
+    if in_f % 256 != 0 or out_f % 256 != 0:
+        return False
     m = 1
     for d in x.shape[:-1]:
         m *= d
-    if m > 128:
+    # Measured dispatch rule (scripts/bench_quant_matmul.py on one v5e, 7B
+    # shapes, slope-timed to cancel relay dispatch overhead):
+    # - decode/serving sizes (m <= 128): the fused kernel wins everywhere
+    #   (weight-streaming bound; e.g. c_attn M=1: 54 us vs 1144 us XLA).
+    # - prefill sizes (m <= 1024): the kernel still wins on the LARGE weights
+    #   (c_attn 25 MB packed: 602 vs 1149 us at M=512) but loses on small ones
+    #   (attn.c_proj 8.4 MB: XLA fuses the dequant into the dot and runs at
+    #   ~full MXU rate, 105 vs 196 us at M=512) — threshold 16 MB packed.
+    # - m > 1024: compute-bound; XLA's fused dequant+dot wins on every shape.
+    # int8 (packed=False) keeps the decode-only rule: its schedule was not
+    # re-tuned for large M.
+    if m <= 128:
+        return True
+    if not packed:
         return False
-    in_f = qw.shape[0] * (2 if packed else 1)
-    out_f = qw.shape[1]
-    return in_f % 256 == 0 and out_f % 256 == 0
+    return m <= 1024 and qw.size >= 16 * 1024 * 1024

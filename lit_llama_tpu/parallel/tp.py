@@ -125,10 +125,11 @@ def prepare_tp_params(params: Params, config: LLaMAConfig, mp: int) -> Params:
     from lit_llama_tpu.ops.linear import pack_int4, unpack_int4
     from lit_llama_tpu.utils.math import find_multiple
 
-    params = llama.unstack_layers(params)
+    params = llama.unstack_layers(params, fuse_mlp=False)
     gs = config.quant_groupsize
 
     def fix_layer(lp: Params) -> Params:
+        lp = llama.unfuse_mlp_layer(lp)  # TP shards c_fc1/c_fc2 separately
         lp = jax.tree_util.tree_map(lambda a: a, lp)  # copy dicts
         attn, mlp = lp["attn"], lp["mlp"]
         # 1. QKV column permutation (applies to dense and quantized alike)

@@ -102,6 +102,14 @@ def cli(fn: Callable, args: Optional[list] = None):
     """Parse argv according to ``fn``'s signature and call it."""
     _apply_platform_override()
     sig = inspect.signature(fn)
+    try:
+        # resolve string annotations (modules using `from __future__ import
+        # annotations` otherwise hand argparse the literal string "int")
+        import typing
+
+        hints = typing.get_type_hints(fn)
+    except Exception:
+        hints = {}
     helps = _docstring_arg_help(fn)
     doc = (inspect.getdoc(fn) or "").split("\n\n")[0]
     parser = argparse.ArgumentParser(
@@ -109,6 +117,7 @@ def cli(fn: Callable, args: Optional[list] = None):
     )
     for name, param in sig.parameters.items():
         tp = param.annotation if param.annotation is not inspect.Parameter.empty else str
+        tp = hints.get(name, tp)
         tp, _ = _unwrap_optional(tp)
         kwargs = dict(help=helps.get(name, ""))
         if tp is bool:

@@ -36,18 +36,27 @@ from lit_llama_tpu.ops.rope import build_rope_cache
 from lit_llama_tpu.utils.cli import cli, enable_compilation_cache
 
 
-def _decode_step(params, config, rope_cache, tok, pos, cache, key):
-    logits, cache = llama.forward(
-        params,
-        tok[None, :],
-        config,
-        rope_cache=rope_cache,
-        input_pos=jnp.array([0]) + pos,
-        kv_cache=cache,
-    )
-    key, sub = jax.random.split(key)
-    nxt = gen.sample_logits(logits[0, -1].astype(jnp.float32), sub, 0.8, 200)
-    return nxt[None], cache, key
+def _decode_steps(params, config, rope_cache, tok, pos0, cache, key, n_steps):
+    """``n_steps`` chained decode steps as ONE program: per-call dispatch
+    through the axon relay costs seconds for a 7B weight tree, so profiling
+    per-step calls measures the RPC layer, not the chip. A fori_loop keeps one
+    dispatch; the trace still carries every per-op device event inside it."""
+
+    def body(i, carry):
+        tok, cache, key = carry
+        logits, cache = llama.forward(
+            params,
+            tok[None, :],
+            config,
+            rope_cache=rope_cache,
+            input_pos=jnp.array([0]) + pos0 + i,
+            kv_cache=cache,
+        )
+        key, sub = jax.random.split(key)
+        nxt = gen.sample_logits(logits[0, -1].astype(jnp.float32), sub, 0.8, 200)
+        return nxt[None], cache, key
+
+    return jax.lax.fori_loop(0, n_steps, body, (tok, cache, key))
 
 
 def aggregate_trace(trace_dir: Path) -> dict:
@@ -131,21 +140,18 @@ def run(
 
     rope_cache = build_rope_cache(config.block_size, config.head_size)
     cache = llama.init_kv_cache(config, 1, max_seq_length)
-    step = jax.jit(_decode_step, static_argnums=(1,))
+    run_steps = jax.jit(_decode_steps, static_argnums=(1, 7))
 
     tok = jnp.array([5], jnp.int32)
     key = jax.random.PRNGKey(0)
-    # warm the cache with a fake prefill position then compile the step
     t0 = time.perf_counter()
-    tok_c, cache_c, key_c = step(params, config, rope_cache, tok, jnp.int32(1), cache, key)
-    jax.block_until_ready(tok_c)
-    print(f"compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    tk, _, _ = run_steps(params, config, rope_cache, tok, jnp.int32(1), cache, key, steps)
+    _ = int(tk[0])
+    print(f"compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    # timed, untraced: chained steps ending in a value fetch
+    # timed, untraced: one dispatch, value-fetch synced
     t0 = time.perf_counter()
-    tk, ch, ky = tok, cache, key
-    for i in range(steps):
-        tk, ch, ky = step(params, config, rope_cache, tk, jnp.int32(2 + i), ch, ky)
+    tk, _, _ = run_steps(params, config, rope_cache, tok, jnp.int32(1), cache, key, steps)
     _ = int(tk[0])
     wall = time.perf_counter() - t0
     print(
@@ -156,9 +162,7 @@ def run(
 
     tdir = Path(trace_dir)
     jax.profiler.start_trace(str(tdir))
-    tk, ch, ky = tok, cache, key
-    for i in range(steps):
-        tk, ch, ky = step(params, config, rope_cache, tk, jnp.int32(2 + i), ch, ky)
+    tk, _, _ = run_steps(params, config, rope_cache, tok, jnp.int32(1), cache, key, steps)
     _ = int(tk[0])
     jax.profiler.stop_trace()
 
