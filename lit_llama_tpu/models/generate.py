@@ -78,6 +78,10 @@ def _generate_compiled(
     dtype = jnp.dtype(config.compute_dtype)
     rope_cache = build_rope_cache(config.block_size, config.head_size)
     cache = llama.init_kv_cache(config, 1, max_seq_length, dtype)
+    if isinstance(params.get("h"), (list, tuple)):
+        # per-layer cache rides with unstacked weights: in-place updates, no
+        # per-step stacked-cache slice/re-stack copies
+        cache = llama.unstack_kv_cache(cache)
 
     buf = jnp.zeros((T_new,), jnp.int32)
     buf = jax.lax.dynamic_update_slice(buf, prompt, (0,))

@@ -361,9 +361,11 @@ def forward(
     write_pos = None
     causal = False
     attend_len = None
+    kv_seq = isinstance(kv_cache, (list, tuple))
+    kv_entry = (kv_cache[0] if kv_seq else kv_cache) if kv_cache is not None else None
     if slot_pos is not None:
         assert T == 1, "slot_pos decode is single-token per slot"
-        S = kv_cache["k"].shape[3]
+        S = kv_entry["k"].shape[-2]
         pos = jnp.clip(slot_pos, 0, config.block_size - 1)
         rope = jnp.take(rope_cache, pos, axis=0)[:, None]  # (B, 1, hs/2, 2)
         key_slots = jnp.arange(S)
@@ -382,14 +384,16 @@ def forward(
         attend_len = T
         write_pos = jnp.int32(0)
     else:
-        S = kv_cache["k"].shape[3]
+        S = kv_entry["k"].shape[-2]
         # Overflow: roll the cache one slot left and write at the last slot
         # (reference: model.py:214-218). Only reachable in single-token decode.
+        # axis=-2 is the sequence dim in both cache layouts (stacked
+        # (L,B,H,S,hs) and per-layer (B,H,S,hs); scales (...,S,1) likewise).
         overflow = input_pos[-1] >= S
         if T == 1:
             kv_cache = jax.tree_util.tree_map(
                 lambda c: jax.lax.cond(
-                    overflow, lambda a: jnp.roll(a, -1, axis=3), lambda a: a, c
+                    overflow, lambda a: jnp.roll(a, -1, axis=-2), lambda a: a, c
                 ),
                 kv_cache,
             )
@@ -422,6 +426,20 @@ def forward(
             for lp in layer_params:
                 x, _ = blk(lp, x, rope, mask, config, None, None, causal, tp_axis)
             new_cache = None
+        elif kv_seq:
+            # Per-layer cache tuple matching the unstacked weights: each
+            # layer's arrays update in place (donated buffers), with NO
+            # per-step slice of a stacked cache and NO re-stack — the stacked
+            # layout cost two full cache copies per decode step (~134 MB at
+            # 7B/S=128, growing linearly with S).
+            new_layers = []
+            for lp, kv_l in zip(layer_params, kv_cache):
+                x, new_kv_l = _block(
+                    lp, x, rope, mask, config, kv_l, write_pos, causal, tp_axis,
+                    attend_len,
+                )
+                new_layers.append(new_kv_l)
+            new_cache = tuple(new_layers)
         else:
             acc = None
             for l, lp in enumerate(layer_params):
@@ -501,6 +519,31 @@ def unstack_layers(params: Params, fuse_mlp: bool = True) -> Params:
         layers.append(lp)
     out["h"] = tuple(layers)
     return out
+
+
+def unstack_kv_cache(cache: KVCache) -> KVCache:
+    """Convert a stacked (L, ...) KV cache into a tuple of per-layer caches —
+    the layout ``forward`` uses with unstacked (inference) weights. Stacked
+    caches still work but cost two full-cache copies per decode step (slice
+    per layer + re-stack)."""
+    if cache is None or isinstance(cache, (list, tuple)):
+        return cache
+    if not cache:
+        return cache
+    L = next(iter(cache.values())).shape[0]
+    return tuple(
+        jax.tree_util.tree_map(lambda c: c[l], cache) for l in range(L)
+    )
+
+
+def stack_kv_cache(cache: KVCache) -> KVCache:
+    """Inverse of :func:`unstack_kv_cache`."""
+    if cache is None or isinstance(cache, dict):
+        return cache
+    return {
+        name: jnp.stack([layer[name] for layer in cache])
+        for name in cache[0]
+    }
 
 
 def unfuse_mlp_layer(lp: Params) -> Params:

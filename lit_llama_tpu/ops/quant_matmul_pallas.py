@@ -124,6 +124,51 @@ def matmul_int8(
 # ---------------------------------------------------------------------------
 
 
+def _int4_kernel_fused_scale(
+    xlo_ref, xhi_ref, qw_ref, qslo_ref, qshi_ref, gxlo_ref, gxhi_ref,
+    qzlo_ref, qzhi_ref, o_ref, acc_ref, *, groups_per_block, gs,
+):
+    """Variant: dequantize the whole k-block per element (nibble * bf16 group
+    scale broadcast over the group rows) and run ONE dot per nibble plane —
+    2 + 2 dots per k-block instead of 2 per group + 2. Trades ~1 extra VPU op
+    per weight for an ~8-16x cut in small-dot count (each (gs, bn) dot at
+    decode M pays a fixed MXU pass latency)."""
+    kk = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    dtype = xlo_ref.dtype
+    bn = qw_ref.shape[1]
+    p32 = qw_ref[:].astype(jnp.int32)  # (block_kh, bn)
+    low_q = (p32 & 0xF).astype(dtype).reshape(groups_per_block, gs, bn)
+    high_q = (p32 >> 4).astype(dtype).reshape(groups_per_block, gs, bn)
+    w_lo = (low_q * qslo_ref[:][:, None, :].astype(dtype)).reshape(-1, bn)
+    w_hi = (high_q * qshi_ref[:][:, None, :].astype(dtype)).reshape(-1, bn)
+    acc = acc_ref[:]
+    acc += jax.lax.dot_general(
+        xlo_ref[:], w_lo, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc += jax.lax.dot_general(
+        xhi_ref[:], w_hi, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc += jax.lax.dot_general(
+        gxlo_ref[:], qzlo_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc += jax.lax.dot_general(
+        gxhi_ref[:], qzhi_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = acc
+
+    @pl.when(kk == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
 def _int4_kernel(
     xlo_ref, xhi_ref, qw_ref, qslo_ref, qshi_ref, gxlo_ref, gxhi_ref,
     qzlo_ref, qzhi_ref, o_ref, acc_ref, *, groups_per_block, gs,
@@ -144,12 +189,20 @@ def _int4_kernel(
         # exact in bf16, and the group scale is constant over the contraction
         # rows, so it applies to the (bm, bn) accumulator instead of per weight
         # element — the dequant costs ~2 VPU ops/element instead of ~5.
+        # (Measured alternatives on chip: 16-bit-lane unpack — andi i16 plus
+        # the exact-bf16 high nibble (p - (p & 0xF)) * 2^-4 — compiles but
+        # runs ~1.6x SLOWER than this i32 path, 328 vs 532 GB/s effective at
+        # the 7B c_attn decode shape; Mosaic evidently widens i16 ops anyway.)
         p32 = packed.astype(jnp.int32)
-        low_q = (p32 & 0xF).astype(jnp.float32).astype(dtype)
-        high_q = (p32 >> 4).astype(jnp.float32).astype(dtype)
+        low_q = (p32 & 0xF).astype(dtype)
+        high_q = (p32 >> 4).astype(dtype)
         xlo = xlo_ref[pl.ds(g * gs, gs), :]  # (gs, block_m)
         xhi = xhi_ref[pl.ds(g * gs, gs), :]
-        # contract over sublanes of both operands: (bm, bn)
+        # contract over sublanes of both operands: (bm, bn). (A natural
+        # (M, K)-layout variant — x lanes against weight sublanes, no operand
+        # transpose — measured the same in isolation but ~20x slower inside
+        # the full unrolled decode graph; the transposed orientation is what
+        # XLA schedules well there.)
         lo_dot = jax.lax.dot_general(
             xlo, low_q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -157,19 +210,19 @@ def _int4_kernel(
             xhi, high_q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         acc += lo_dot * qslo_ref[g : g + 1, :] + hi_dot * qshi_ref[g : g + 1, :]
-        # zero-point term, folded in (one XLA matmul + output pass fewer per
-        # linear): sum_{k in g} x_k * z_g(n) == group-sum(x) ⊗ zeros — a
-        # rank-1 K=1 MXU outer product per group from the precomputed
-        # (1, bm) group-sum rows (gx rides the same (groups, M) block layout
-        # as the scales; Mosaic requires full-or-128-divisible lane blocks)
-        acc += jax.lax.dot_general(
-            gxlo_ref[g : g + 1, :], qzlo_ref[g : g + 1, :],
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        acc += jax.lax.dot_general(
-            gxhi_ref[g : g + 1, :], qzhi_ref[g : g + 1, :],
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
+    # zero-point term, folded in (one XLA matmul + output pass fewer per
+    # linear): sum_{k in g} x_k * z_g(n) over all groups in this k-block is
+    # ONE K=groups_per_block matmul gxᵀ·z from the precomputed (groups, bm)
+    # group-sum rows — per-group rank-1 outer products measured ~35% kernel
+    # overhead at decode shapes; a single small dot is noise.
+    acc += jax.lax.dot_general(
+        gxlo_ref[:, :], qzlo_ref[:, :],
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    acc += jax.lax.dot_general(
+        gxhi_ref[:, :], qzhi_ref[:, :],
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
     acc_ref[:] = acc
 
     @pl.when(kk == nk - 1)
@@ -280,9 +333,12 @@ def matmul_int4(
     ):
         block_m = 128
 
-    kernel = functools.partial(
-        _int4_kernel, groups_per_block=groups_per_block, gs=gs_packed
+    kfn = (
+        _int4_kernel_fused_scale
+        if os.environ.get("LIT_LLAMA_TPU_INT4_KERNEL") == "fused_scale"
+        else _int4_kernel
     )
+    kernel = functools.partial(kfn, groups_per_block=groups_per_block, gs=gs_packed)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),

@@ -143,7 +143,12 @@ class DecodeEngine:
 
             self.cache = tp_lib.init_tp_cache(config, mesh, self.B, self.S, dtype)
         else:
-            self.cache = llama.init_kv_cache(config, self.B, self.S, dtype)
+            # per-layer tuple matching the unstacked weights (no per-step
+            # stacked-cache slice/re-stack copies; batch axis is ndim-4 in
+            # both layouts, which the prefill slice lambdas rely on)
+            self.cache = llama.unstack_kv_cache(
+                llama.init_kv_cache(config, self.B, self.S, dtype)
+            )
         self.slot_pos = np.zeros((self.B,), np.int32)
         self.last_tok = np.zeros((self.B,), np.int32)
         self.temps = np.zeros((self.B,), np.float32)
@@ -177,11 +182,11 @@ class DecodeEngine:
             samples the first generated token from the last real position."""
             T = tokens.shape[1]
             slot_cache = jax.tree_util.tree_map(
-                lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=1), cache
+                lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=c.ndim - 4), cache
             )
             logits, slot_cache = fwd_prefill(params, tokens, jnp.arange(T), slot_cache)
             cache = jax.tree_util.tree_map(
-                lambda c, sc: jax.lax.dynamic_update_slice_in_dim(c, sc, slot, axis=1),
+                lambda c, sc: jax.lax.dynamic_update_slice_in_dim(c, sc, slot, axis=c.ndim - 4),
                 cache,
                 slot_cache,
             )
@@ -201,14 +206,14 @@ class DecodeEngine:
             chunk's sample is used)."""
             C = tokens.shape[1]
             slot_cache = jax.tree_util.tree_map(
-                lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=1), cache
+                lambda c: jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=c.ndim - 4), cache
             )
             logits, slot_cache = llama.forward(
                 params, tokens, cfg, rope_cache=rope,
                 input_pos=jnp.arange(C) + start, kv_cache=slot_cache,
             )
             cache = jax.tree_util.tree_map(
-                lambda c, sc: jax.lax.dynamic_update_slice_in_dim(c, sc, slot, axis=1),
+                lambda c, sc: jax.lax.dynamic_update_slice_in_dim(c, sc, slot, axis=c.ndim - 4),
                 cache,
                 slot_cache,
             )

@@ -59,6 +59,32 @@ def _decode_steps(params, config, rope_cache, tok, pos0, cache, key, n_steps):
     return jax.lax.fori_loop(0, n_steps, body, (tok, cache, key))
 
 
+def _decode_steps_batched(params, config, rope_cache, toks, pos0, cache, key, n_steps):
+    """Continuous-batching shape: B independent slots decoding via ``slot_pos``
+    with per-slot sampling — the engine's step (serve/engine.py) without the
+    host scheduler, for profiling batch scaling."""
+    B = toks.shape[0]
+
+    def body(i, carry):
+        toks, cache, key = carry
+        logits, cache = llama.forward(
+            params,
+            toks[:, None],
+            config,
+            rope_cache=rope_cache,
+            slot_pos=jnp.full((B,), 0, jnp.int32) + pos0 + i,
+            kv_cache=cache,
+        )
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, B)
+        nxt = jax.vmap(
+            lambda lg, k: gen.sample_logits(lg.astype(jnp.float32), k, 0.8, 200)
+        )(logits[:, -1], keys)
+        return nxt.astype(jnp.int32), cache, key
+
+    return jax.lax.fori_loop(0, n_steps, body, (toks, cache, key))
+
+
 def aggregate_trace(trace_dir: Path) -> dict:
     """Sum device-op durations by name from the newest trace.json.gz under
     ``trace_dir``. Returns {name: total_us}."""
@@ -113,8 +139,18 @@ def run(
     trace_dir: str = "/tmp/decode_trace",
     max_seq_length: int = 128,
     kv_cache_dtype: str = "bfloat16",
+    batch: int = 1,
+    stacked_cache: bool = False,
 ) -> None:
-    """Profile ``steps`` chained decode steps of ``model_size`` int4 on the chip."""
+    """Profile ``steps`` chained decode steps of ``model_size`` int4 on the chip.
+
+    Args:
+        batch: 1 profiles the single-stream generate step; >1 profiles the
+            serving engine's batched slot_pos step (per-slot positions and
+            sampling) to locate the sub-linear batch-scaling cost.
+        stacked_cache: keep the (L, ...) stacked KV cache (two full-cache
+            copies per step) instead of the per-layer tuple layout, for A/B.
+    """
     enable_compilation_cache()
     sys.path.insert(0, str(wd))
     from bench import random_int4_params
@@ -139,10 +175,15 @@ def run(
     jax.block_until_ready(params)
 
     rope_cache = build_rope_cache(config.block_size, config.head_size)
-    cache = llama.init_kv_cache(config, 1, max_seq_length)
-    run_steps = jax.jit(_decode_steps, static_argnums=(1, 7))
-
-    tok = jnp.array([5], jnp.int32)
+    cache = llama.init_kv_cache(config, batch, max_seq_length)
+    if not stacked_cache:
+        cache = llama.unstack_kv_cache(cache)
+    if batch > 1:
+        run_steps = jax.jit(_decode_steps_batched, static_argnums=(1, 7))
+        tok = jnp.full((batch,), 5, jnp.int32)
+    else:
+        run_steps = jax.jit(_decode_steps, static_argnums=(1, 7))
+        tok = jnp.array([5], jnp.int32)
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
     tk, _, _ = run_steps(params, config, rope_cache, tok, jnp.int32(1), cache, key, steps)
@@ -155,7 +196,8 @@ def run(
     _ = int(tk[0])
     wall = time.perf_counter() - t0
     print(
-        f"untraced: {steps} steps in {wall*1e3:.1f} ms -> {steps/wall:.1f} tok/s, "
+        f"untraced: {steps} steps in {wall*1e3:.1f} ms -> {steps/wall:.1f} tok/s/slot"
+        f" ({batch * steps / wall:.1f} aggregate at batch {batch}), "
         f"{wall/steps*1e3:.3f} ms/step",
         file=sys.stderr,
     )

@@ -204,6 +204,49 @@ def test_unstacked_layers_match_stacked(tiny_config):
     )
 
 
+def test_per_layer_kv_cache_matches_stacked(tiny_config):
+    """The per-layer (tuple) cache layout used with unstacked weights decodes
+    identically to the stacked (L, ...) layout — including the roll-left
+    overflow path (axis=-2 roll must hit the sequence dim in both layouts)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lit_llama_tpu.models import llama
+
+    params = init_params(tiny_config, jax.random.PRNGKey(3))
+    up = llama.unstack_layers(params)
+    tokens = jnp.arange(10, dtype=jnp.int32).reshape(1, 10) % 128
+    S = 6
+
+    cache_s = init_kv_cache(tiny_config, 1, S)
+    cache_u = llama.unstack_kv_cache(init_kv_cache(tiny_config, 1, S))
+    assert isinstance(cache_u, tuple) and len(cache_u) == tiny_config.n_layer
+
+    ref, cache_s = forward(
+        params, tokens[:, :4], tiny_config, input_pos=jnp.arange(4), kv_cache=cache_s
+    )
+    got, cache_u = forward(
+        up, tokens[:, :4], tiny_config, input_pos=jnp.arange(4), kv_cache=cache_u
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+    # decode past the cache end to exercise the overflow roll in both layouts
+    for pos in range(4, 8):
+        ref, cache_s = forward(
+            params, tokens[:, pos : pos + 1], tiny_config,
+            input_pos=jnp.array([pos]), kv_cache=cache_s,
+        )
+        got, cache_u = forward(
+            up, tokens[:, pos : pos + 1], tiny_config,
+            input_pos=jnp.array([pos]), kv_cache=cache_u,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(llama.stack_kv_cache(cache_u)["k"]),
+        np.asarray(cache_s["k"]),
+        atol=1e-6,
+    )
+
+
 def test_int8_kv_cache_decode_close_to_bf16(tiny_config):
     """int8 KV cache decode tracks the full-precision cache closely (beyond the
     reference; PAPERS.md KV-cache quantization direction)."""
