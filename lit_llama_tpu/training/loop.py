@@ -154,6 +154,7 @@ def train(
 
     start_iter = int(state.step)
     t_last = time.perf_counter()
+    it_last = start_iter - 1
     for it in range(start_iter, loop.max_iters):
         if stop_requested["flag"]:
             save_train_checkpoint(
@@ -177,12 +178,14 @@ def train(
             now = time.perf_counter()
             dt = now - t_last
             t_last = now
-            tokens = int(np.prod(np.asarray(ids).shape))
+            n_iters = it - it_last  # dt spans every iter since the last log
+            it_last = it
+            tokens = int(np.prod(np.asarray(ids).shape)) * max(n_iters, 1)
             rec = {
                 "iter": it,
                 "loss": round(loss_f, 4),
                 "tokens_per_sec": round(tokens / max(dt, 1e-9), 1),
-                "dt_ms": round(dt * 1e3, 1),
+                "dt_ms": round(dt * 1e3 / max(n_iters, 1), 1),
             }
             (log_fn or _default_log)(rec)
         if validate_fn is not None and loop.eval_interval and (it + 1) % loop.eval_interval == 0:
