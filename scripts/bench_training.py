@@ -29,6 +29,7 @@ def main(
     model_parallel: int = 1,
     remat: bool = True,
     remat_policy: str = "dots",
+    trace_dir: str = "",
 ) -> None:
     """Benchmark the jitted training step.
 
@@ -46,6 +47,8 @@ def main(
         model_parallel: Mesh model-axis size.
         remat: Activation rematerialization on the scanned block.
         remat_policy: 'dots' (save matmul outputs) or 'full' (recompute all).
+        trace_dir: If set, capture a jax.profiler trace of the timed iters and
+            print the per-op-group device breakdown (guides MFU work).
     """
     import jax
     import jax.numpy as jnp
@@ -110,6 +113,24 @@ def main(
         f"step {dt*1e3:.1f} ms, {tokens/dt:,.0f} tokens/sec, "
         f"~{flops/dt/1e12:.1f} TFLOP/s (compile {compile_s:.1f}s, loss {float(loss):.3f})"
     )
+
+    if trace_dir:
+        sys.path.insert(0, str(wd / "scripts"))
+        from profile_decode import aggregate_trace
+
+        with mesh:
+            jax.profiler.start_trace(trace_dir)
+            for _ in range(n_iters):
+                state, loss = step_lib.train_step(
+                    state, ids, ids, config, optimizer, remat, remat_policy
+                )
+            float(loss)
+            jax.profiler.stop_trace()
+        totals, counts, _, _ = aggregate_trace(Path(trace_dir))
+        grand = sum(v for k, v in totals.items() if not k.startswith("while"))
+        print(f"device ops total {grand/n_iters/1e3:.1f} ms/step; top ops:")
+        for name, us in sorted(totals.items(), key=lambda kv: -kv[1])[:25]:
+            print(f"  {us/n_iters/1e3:8.2f} ms/step  n={counts[name]//n_iters:4d}  {name[:90]}")
 
 
 if __name__ == "__main__":
