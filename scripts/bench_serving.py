@@ -96,9 +96,8 @@ def main(
         steps_per_sync=steps_per_sync, prefill_chunk=prefill_chunk,
         prefill_budget=prefill_budget,
     )
-    # warmup compiles: one prefill bucket + one step
-    wid = engine.submit(prompts[0], 2)
-    engine.run()
+    # compile every prefill bucket + the decode chunk before timing
+    engine.warmup()
 
     t0 = time.perf_counter()
     for p in prompts:
@@ -119,8 +118,7 @@ def main(
             params, config, max_batch=1, max_seq_length=max_seq_length,
             steps_per_sync=steps_per_sync,
         )
-        eng1.submit(prompts[0], 2)
-        eng1.run()
+        eng1.warmup()
         t0 = time.perf_counter()
         for p in prompts:
             eng1.submit(p, max_new_tokens)

@@ -103,6 +103,8 @@ def main(
         params, config, max_batch=max_batch, max_seq_length=max_seq_length,
         steps_per_sync=steps_per_sync, mesh=mesh,
     )
+    print("warming up (compiling prefill buckets + decode step)...", file=sys.stderr)
+    engine.warmup()
     server = _Server(engine, tokenizer)
     t = threading.Thread(target=server.loop, daemon=True)
     t.start()
