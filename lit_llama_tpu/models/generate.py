@@ -104,6 +104,11 @@ def _generate_compiled(
         i, _, _, _, done = state
         return jnp.logical_and(i < max_new_tokens - 1, jnp.logical_not(done))
 
+    # the roll-left overflow path can only fire if the generation runs past
+    # the cache; statically disabling it avoids a full-cache copy per step
+    # (XLA flattens the roll cond into slices + select)
+    can_overflow = T + max_new_tokens > max_seq_length
+
     def body(state):
         i, buf, cache, key, done = state
         pos = T + i
@@ -115,6 +120,7 @@ def _generate_compiled(
             rope_cache=rope_cache,
             input_pos=jnp.array([0]) + pos,
             kv_cache=cache,
+            can_overflow=can_overflow,
         )
         key, sub = jax.random.split(key)
         nxt = sample_logits(logits[0, -1].astype(jnp.float32), sub, temperature, top_k)

@@ -165,6 +165,7 @@ def _block(
     causal: bool,
     tp_axis: Optional[str] = None,
     attend_len: Optional[int] = None,
+    limit: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """One pre-norm residual block (reference: lit_llama/model.py:148-168)."""
     h, new_kv = _causal_self_attention(
@@ -179,6 +180,7 @@ def _block(
         layer_params,
         tp_axis,
         attend_len,
+        limit,
     )
     x = x + h
     x = x + _mlp(layer_params["mlp"], rms_norm(x, layer_params["rms_2"]), tp_axis)
@@ -197,8 +199,12 @@ def _causal_self_attention(
     layer_params: Params,
     tp_axis: Optional[str] = None,
     attend_len: Optional[int] = None,
+    limit: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Fused-QKV attention (reference: lit_llama/model.py:171-237).
+
+    ``limit``: (B,) int32 — single-token decode visibility bound (key slot s
+    visible iff s <= limit[b]); enables the Pallas decode-attention kernel.
 
     Under ``tp_axis`` (inside shard_map, Megatron-style tensor parallelism) this
     runs on the local head shard: qkv is (B, T, 3*D/mp), the head count derives
@@ -226,10 +232,25 @@ def _causal_self_attention(
     v = v.transpose(0, 2, 1, 3)
 
     new_kv = None
+    use_da = False
     if kv is not None:
-        if "ks" in kv:
-            # int8 cache: store quantized vectors + per-vector scales, then
-            # dequantize the full cache for attention (half the read bandwidth)
+        from lit_llama_tpu.ops import decode_attention as da
+
+        quant_cache = "ks" in kv
+        S_cache = kv["k"].shape[-2]
+        # single-token decode: the Pallas decode-attention kernel streams the
+        # cache once (int8 consumed directly — scales fold into the score and
+        # the weighted sum) instead of the XLA dequant + einsum chain
+        # int8 caches keep the XLA dequant path: the kernel's i8->f32->bf16
+        # widening is VPU-bound (109 us/layer) and measured SLOWER end-to-end
+        # (64 vs 68.5 tok/s at S=2048) than XLA's fused dequant+einsum.
+        use_da = (
+            limit is not None
+            and attend_len is None
+            and not quant_cache
+            and da.use_decode_attention(q, kv["k"], S_cache)
+        )
+        if quant_cache:
             kq, ksc = _quantize_kv(k)
             vq, vsc = _quantize_kv(v)
             new_kv = {
@@ -238,8 +259,10 @@ def _causal_self_attention(
                 "v": _cache_write(kv["v"], vq, write_pos),
                 "vs": _cache_write(kv["vs"], vsc, write_pos),
             }
-            k = (new_kv["k"].astype(jnp.float32) * new_kv["ks"]).astype(q.dtype)
-            v = (new_kv["v"].astype(jnp.float32) * new_kv["vs"]).astype(q.dtype)
+            if not use_da:
+                # fallback: dequantize the full cache for the XLA attention
+                k = (new_kv["k"].astype(jnp.float32) * new_kv["ks"]).astype(q.dtype)
+                v = (new_kv["v"].astype(jnp.float32) * new_kv["vs"]).astype(q.dtype)
         else:
             # Write the new keys/values at write_pos; attention then runs
             # against the full cache (reference: model.py:211-221).
@@ -249,12 +272,22 @@ def _causal_self_attention(
             }
             k, v = new_kv["k"], new_kv["v"]
 
-    if attend_len is not None and kv is not None:
-        # prefill-from-zero: only the first attend_len cache slots are live —
-        # a static slice keeps the problem (T, T) and flash-eligible
-        k = jax.lax.slice_in_dim(k, 0, attend_len, axis=2)
-        v = jax.lax.slice_in_dim(v, 0, attend_len, axis=2)
-    y = attention(q, k, v, mask, causal=causal)
+    if use_da:
+        from lit_llama_tpu.ops.decode_attention import decode_attention_pallas
+
+        if "ks" in new_kv:
+            y = decode_attention_pallas(
+                q, new_kv["k"], new_kv["v"], new_kv["ks"], new_kv["vs"], limit
+            )
+        else:
+            y = decode_attention_pallas(q, new_kv["k"], new_kv["v"], None, None, limit)
+    else:
+        if attend_len is not None and kv is not None:
+            # prefill-from-zero: only the first attend_len cache slots are live —
+            # a static slice keeps the problem (T, T) and flash-eligible
+            k = jax.lax.slice_in_dim(k, 0, attend_len, axis=2)
+            v = jax.lax.slice_in_dim(v, 0, attend_len, axis=2)
+        y = attention(q, k, v, mask, causal=causal)
 
     if config.adapter is not None:
         from lit_llama_tpu.peft import adapter as adapter_mod
@@ -322,6 +355,7 @@ def forward(
     remat_policy: str = "dots",
     tp_axis: Optional[str] = None,
     prefill_from_zero: bool = False,
+    can_overflow: bool = True,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the model.
 
@@ -363,6 +397,7 @@ def forward(
     attend_len = None
     kv_seq = isinstance(kv_cache, (list, tuple))
     kv_entry = (kv_cache[0] if kv_seq else kv_cache) if kv_cache is not None else None
+    limit = None  # (B,) decode visibility bound for the Pallas decode kernel
     if slot_pos is not None:
         assert T == 1, "slot_pos decode is single-token per slot"
         S = kv_entry["k"].shape[-2]
@@ -371,6 +406,7 @@ def forward(
         key_slots = jnp.arange(S)
         mask = (key_slots[None, :] <= slot_pos[:, None])[:, None, None, :]
         write_pos = slot_pos
+        limit = slot_pos
     elif input_pos is None:
         rope = jax.lax.slice_in_dim(rope_cache, 0, T, axis=0)
         mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
@@ -389,8 +425,13 @@ def forward(
         # (reference: model.py:214-218). Only reachable in single-token decode.
         # axis=-2 is the sequence dim in both cache layouts (stacked
         # (L,B,H,S,hs) and per-layer (B,H,S,hs); scales (...,S,1) likewise).
-        overflow = input_pos[-1] >= S
-        if T == 1:
+        # ``can_overflow=False`` (static) removes the roll entirely: XLA
+        # flattens the cond into slices + select that COPY the whole cache
+        # every step (~2.9 ms/step at 7B S=2048, traced), and callers that
+        # bound the generation by max_seq_length know statically that the
+        # roll can never fire.
+        if T == 1 and can_overflow:
+            overflow = input_pos[-1] >= S
             kv_cache = jax.tree_util.tree_map(
                 lambda c: jax.lax.cond(
                     overflow, lambda a: jnp.roll(a, -1, axis=-2), lambda a: a, c
@@ -407,6 +448,8 @@ def forward(
         # after the :max_seq_length crop, reference: model.py:95-96).
         key_slots = jnp.arange(S)[None, :]
         mask = (key_slots <= input_pos[:, None])[None, None]
+        if T == 1:
+            limit = jnp.broadcast_to(input_pos[0], (B,))
 
     layer_params = params["h"]
 
@@ -436,7 +479,7 @@ def forward(
             for lp, kv_l in zip(layer_params, kv_cache):
                 x, new_kv_l = _block(
                     lp, x, rope, mask, config, kv_l, write_pos, causal, tp_axis,
-                    attend_len,
+                    attend_len, limit,
                 )
                 new_layers.append(new_kv_l)
             new_cache = tuple(new_layers)
@@ -446,7 +489,7 @@ def forward(
                 kv_l = jax.tree_util.tree_map(lambda c: c[l], kv_cache)
                 x, new_kv_l = _block(
                     lp, x, rope, mask, config, kv_l, write_pos, causal, tp_axis,
-                    attend_len,
+                    attend_len, limit,
                 )
                 if acc is None:
                     acc = {name: [] for name in new_kv_l}
@@ -468,7 +511,8 @@ def forward(
         def body(h, inputs):
             lp, kv = inputs
             h, new_kv = _block(
-                lp, h, rope, mask, config, kv, write_pos, causal, tp_axis, attend_len
+                lp, h, rope, mask, config, kv, write_pos, causal, tp_axis,
+                attend_len, limit,
             )
             return h, new_kv
 

@@ -51,6 +51,7 @@ def _decode_steps(params, config, rope_cache, tok, pos0, cache, key, n_steps):
             rope_cache=rope_cache,
             input_pos=jnp.array([0]) + pos0 + i,
             kv_cache=cache,
+            can_overflow=False,  # the profiled window never passes max_seq
         )
         key, sub = jax.random.split(key)
         nxt = gen.sample_logits(logits[0, -1].astype(jnp.float32), sub, 0.8, 200)

@@ -174,3 +174,45 @@ def test_int4_kernel_prime_group_count_large_M(rng):
         x, q["qw"], q["qscale"], q["qzero"], jnp.float32, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+@pytest.mark.parametrize("B,limits", [(1, [0]), (1, [127]), (3, [0, 64, 255])])
+def test_decode_attention_bf16_matches_xla(rng, B, limits):
+    """Pallas decode attention (one query vs the whole cache, per-slot
+    visibility limit) vs the masked XLA einsum path."""
+    from lit_llama_tpu.ops.decode_attention import decode_attention_pallas
+
+    H, S, hs = 4, 256, 128
+    q = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, S, hs)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, S, hs)), jnp.float32)
+    limit = jnp.asarray(limits, jnp.int32)
+    mask = (jnp.arange(S)[None, :] <= limit[:, None])[:, None, None, :]
+    ref = attention_xla(q, k, v, mask)
+    got = decode_attention_pallas(q, k, v, None, None, limit, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_decode_attention_int8_matches_dequant_xla(rng):
+    """int8 cache consumed directly: scores/weighted-sum with folded scales
+    must match dequantize-then-attend."""
+    from lit_llama_tpu.ops.decode_attention import decode_attention_pallas
+
+    B, H, S, hs = 2, 8, 128, 128
+    q = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.float32)
+    kf = rng.normal(size=(B, H, S, hs)).astype(np.float32)
+    vf = rng.normal(size=(B, H, S, hs)).astype(np.float32)
+    ks = np.abs(kf).max(-1, keepdims=True) / 127.0
+    vs = np.abs(vf).max(-1, keepdims=True) / 127.0
+    k8 = np.clip(np.round(kf / ks), -127, 127).astype(np.int8)
+    v8 = np.clip(np.round(vf / vs), -127, 127).astype(np.int8)
+    limit = jnp.asarray([100, 5], jnp.int32)
+    mask = (jnp.arange(S)[None, :] <= limit[:, None])[:, None, None, :]
+    kd = jnp.asarray(k8.astype(np.float32) * ks)
+    vd = jnp.asarray(v8.astype(np.float32) * vs)
+    ref = attention_xla(q, kd, vd, mask)
+    got = decode_attention_pallas(
+        q, jnp.asarray(k8), jnp.asarray(v8), jnp.asarray(ks), jnp.asarray(vs),
+        limit, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4)
