@@ -317,7 +317,10 @@ def matmul_int4(
     # 20.27 MB scoped (OOM); block_n=512 compiles.
     budget = 7 * 1024 * 1024
     block_m = min(_round_up(M, 8), 256)
-    block_n = min(N, int(os.environ.get("LIT_LLAMA_TPU_INT4_BLOCK_N", "1024")))
+    # 2048-wide N blocks measured +4.5% decode over 1024 (longer contiguous
+    # DMA rows against the N-major weight layout); the VMEM shrink loop below
+    # caps wider settings on the big shapes anyway
+    block_n = min(N, int(os.environ.get("LIT_LLAMA_TPU_INT4_BLOCK_N", "2048")))
     while vmem_bytes(block_m, block_n) > budget and block_n > 256:
         block_n //= 2
     # The x block's lane dim (block_m) must be 128-divisible or the full
