@@ -143,15 +143,16 @@ def _quantize_kv(x: jnp.ndarray):
 def _cache_write(arr: jnp.ndarray, new: jnp.ndarray, write_pos: jnp.ndarray) -> jnp.ndarray:
     """Write ``new`` (B, H, T, d) into ``arr`` (B, H, S, d) at write_pos —
     scalar (contiguous slice, reference model.py:211-221) or per-slot vector
-    (continuous batching). The per-slot path is a single vmapped
-    dynamic_update_slice over the batch axis — one fused scatter regardless of
-    B, not B sequential updates (VERDICT r1 weak #5: the Python loop was
-    quadratic trouble at the 32/64 slots the serving ceiling wants)."""
+    (continuous batching). The per-slot path is ONE scatter per array: the
+    vmapped dynamic_update_slice it replaces was lowered by XLA as a while
+    loop over the batch (traced: ~64 inner whiles at ~126 us each = ~8 ms per
+    decode step at 32 slots — the dominant batch-scaling cost)."""
     if write_pos.ndim == 0:
         return jax.lax.dynamic_update_slice(arr, new, (0, 0, write_pos, 0))
-    return jax.vmap(
-        lambda a, n, p: jax.lax.dynamic_update_slice(a, n, (0, p, 0))
-    )(arr, new, write_pos)
+    B = arr.shape[0]
+    return arr.at[jnp.arange(B), :, write_pos].set(
+        new[:, :, 0], unique_indices=True, indices_are_sorted=True
+    )
 
 
 def _block(

@@ -197,15 +197,20 @@ MIN_S = int(os.environ.get("LIT_LLAMA_TPU_DECODE_ATTN_MIN_S", "1024"))
 
 
 def use_decode_attention(q, k, S: int) -> bool:
-    """Dispatch: Pallas decode attention for single-query rows on TPU with
-    tile-aligned shapes. Measured on one v5e (7B decode): at S=2048 the
-    kernel streams the bf16 cache at 718 GB/s (46.8 us/layer vs ~150 us for
-    the XLA dequant+einsum chain), but at S=256 the per-launch latency x 32
-    layers LOSES to XLA's fused einsum (94 vs 121 tok/s end-to-end) — hence
-    the S >= 1024 floor."""
+    """Dispatch: Pallas decode attention for single-stream long-context decode
+    on TPU. Measured end-to-end on one v5e (7B int4):
+    - B=1 S=2048: the kernel wins (46.8 us/layer at 718 GB/s vs ~150 us XLA;
+      decode 81.8 -> 87.9 tok/s).
+    - B=1 S=256: per-launch latency x 32 layers loses (94 vs 121 tok/s).
+    - batched (slot_pos) decode: the kernel wins in ISOLATION (56.7 us/layer
+      at B=8 S=256 vs ~130 us XLA) but LOSES in the full engine step (B=32:
+      31.0 vs 19.2 ms/step) — the scatter-written cache arrives in a layout
+      the kernel's operand constraints force XLA to copy per layer. Batched
+      serving therefore stays on the XLA einsum until that relayout is
+      resolved; hence the B == 1 guard."""
     if os.environ.get("LIT_LLAMA_TPU_NO_PALLAS"):
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     B, H, T, hs = q.shape
-    return T == 1 and hs % 128 == 0 and S % 128 == 0 and S >= MIN_S
+    return T == 1 and B == 1 and hs % 128 == 0 and S % 128 == 0 and S >= MIN_S
