@@ -108,6 +108,12 @@ def _flash_forward(
     S = k.shape[2]
     block_q = _pick_block(T, block_q)
     block_k = _pick_block(S, block_k)
+    # the diagonal-block causal masks and block-skip predicates assume square
+    # blocks (jk < iq / row >= col are block-local); unequal env knobs would
+    # silently skip visible KV blocks, so clamp both to the smaller pick
+    # (picks are powers of two, so the min divides both T and S)
+    if block_q != block_k:
+        block_q = block_k = min(block_q, block_k)
     scale = 1.0 / (hs**0.5)
     grid = (B, H, pl.cdiv(T, block_q), pl.cdiv(S, block_k))
     kernel = functools.partial(
@@ -252,6 +258,8 @@ def _flash_backward(q, k, v, o, lse, do, block_q, block_k):
     S = k.shape[2]
     block_q = _pick_block(T, block_q)
     block_k = _pick_block(S, block_k)
+    if block_q != block_k:  # square blocks — see _flash_forward
+        block_q = block_k = min(block_q, block_k)
     scale = 1.0 / (hs**0.5)
     # D_i = rowsum(dO ∘ O) — cheap elementwise reduction, XLA fuses it
     dd = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)

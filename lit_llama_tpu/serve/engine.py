@@ -260,7 +260,15 @@ class DecodeEngine:
         request at each new prompt-length bucket pays a multi-second (cold:
         multi-minute) compile inside its TTFT — a mixed-length benchmark run
         measured 71 tok/s aggregate uncompiled vs ~480 warm at batch 8."""
-        lengths = {min(w, self.S - 1) for w in self.buckets}
+        if self.prefill_chunk:
+            # prompts longer than the chunk take the chunked path, so buckets
+            # wider than _bucket(chunk) are never dispatched — compiling them
+            # would waste multi-second (cold: multi-minute) warmup work
+            cap = _bucket(self.prefill_chunk, self.buckets)
+            widths = tuple(b for b in self.buckets if b <= cap)
+        else:
+            widths = self.buckets
+        lengths = {min(w, self.S - 1) for w in widths}
         lengths.add(self.S - 1)  # longest prompt: exercises chunked prefill
         for n in sorted(lengths):
             # max_new_tokens=2: one token comes from the prefill itself, so a
@@ -292,8 +300,13 @@ class DecodeEngine:
                 )
             tk = top_k
         prompt = np.asarray(prompt, np.int32)
-        if len(prompt) >= self.S:
-            prompt = prompt[-(self.S - 1) :]
+        # Without chunked prefill the whole prompt must fit one prefill bucket:
+        # a wider-than-bucket prompt would loop through prefill_cont, whose
+        # padded bucket write could run past the cache (and under TP that path
+        # doesn't exist at all — the sharded prefill is from-zero only).
+        limit = self.S - 1 if self.prefill_chunk else min(self.S - 1, self.buckets[-1])
+        if len(prompt) > limit:
+            prompt = prompt[-limit:]
         req = Request(
             next(self._ids), prompt, max_new_tokens, temperature, top_k=tk,
             eos_id=eos_id,
@@ -368,6 +381,10 @@ class DecodeEngine:
                 # earlier rows); at most one extra compile per (S % C) width
                 width = min(C, self.S - start)
             else:
+                # whole-prompt prefill: submit() clamps prompts to buckets[-1]
+                # when chunking is off, so this is always a single from-zero
+                # pass (prefill_cont must not run under TP-sharded params)
+                assert start == 0, "non-chunked prefill must be from-zero"
                 width = _bucket(T, self.buckets)
             n = min(width, T - start)
             padded = np.zeros((1, width), np.int32)
