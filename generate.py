@@ -90,6 +90,10 @@ def main(
             file=sys.stderr,
         )
 
+    from lit_llama_tpu.utils.memory import print_peak_memory
+
+    print_peak_memory()  # reference: generate.py:154-155
+
 
 if __name__ == "__main__":
     from lit_llama_tpu.utils.cli import cli

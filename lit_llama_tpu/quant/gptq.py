@@ -192,19 +192,10 @@ def pack_q4(q: jnp.ndarray) -> jnp.ndarray:
 def _attn_forward_tapped(lp, x, rope, mask, config):
     """Block forward that returns the inputs seen by each quantizable linear."""
     B, T, C = x.shape
-    H, hs = config.n_head, config.head_size
     taps = {}
     h1 = rms_norm(x, lp["rms_1"])
     taps["attn.c_attn"] = h1
-    qkv = linear(lp["attn"]["c_attn"], h1)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = apply_rope(q.reshape(B, T, H, hs), rope).transpose(0, 2, 1, 3)
-    k = apply_rope(k.reshape(B, T, H, hs), rope).transpose(0, 2, 1, 3)
-    v = v.reshape(B, T, H, hs).transpose(0, 2, 1, 3)
-    from lit_llama_tpu.ops.attention import attention
-
-    y = attention(q, k, v, mask, causal=True)
-    y = y.transpose(0, 2, 1, 3).reshape(B, T, C)
+    y = _stage_attn(lp, h1, rope, mask, config)
     taps["attn.c_proj"] = y
     x = x + linear(lp["attn"]["c_proj"], y)
     h2 = rms_norm(x, lp["rms_2"])
@@ -214,6 +205,21 @@ def _attn_forward_tapped(lp, x, rope, mask, config):
     taps["mlp.c_proj"] = gate
     x = x + linear(lp["mlp"]["c_proj"], gate)
     return x, taps
+
+
+def _stage_attn(lp, h1, rope, mask, config):
+    """c_attn projection + attention: h1 = rms_1(x) -> pre-c_proj activations."""
+    B, T, _ = h1.shape
+    H, hs = config.n_head, config.head_size
+    qkv = linear(lp["attn"]["c_attn"], h1)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = apply_rope(q.reshape(B, T, H, hs), rope).transpose(0, 2, 1, 3)
+    k = apply_rope(k.reshape(B, T, H, hs), rope).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, H, hs).transpose(0, 2, 1, 3)
+    from lit_llama_tpu.ops.attention import attention
+
+    y = attention(q, k, v, mask, causal=True)
+    return y.transpose(0, 2, 1, 3).reshape(B, T, H * hs)
 
 
 _BLOCK_TARGETS = ("attn.c_attn", "attn.c_proj", "mlp.c_fc1", "mlp.c_fc2", "mlp.c_proj")
@@ -237,6 +243,26 @@ def quantize_model_gptq(
     linears + lm_head, propagating error-compensated activations block to block
     (reference: llama_blockwise_quantization, quantize/gptq.py:38-150).
 
+    Calibration is sequential WITHIN the block too (matching the reference's
+    per-submodule hook re-runs, quantize/gptq.py:75-110): each linear's Hessian
+    is collected with the earlier linears of the same block already quantized,
+    so e.g. attn.c_proj calibrates against the attention outputs it will
+    actually see at inference. Instead of re-running the whole block per
+    submodule, the block is staged along its dataflow — each stage runs once
+    with the by-then-quantized weights and its outputs feed both the next
+    Hessian and the next stage:
+
+      stage A: h1 = rms_1(x)                       -> H(c_attn); quantize it
+      stage B: y = attn(c_attn_q(h1))              -> H(attn.c_proj); quantize
+      stage C: x2 = x + c_proj_q(y); h2 = rms_2    -> H(c_fc1) = H(c_fc2); quantize
+      stage D: gate = silu(fc1_q(h2)) * fc2_q(h2)  -> H(mlp.c_proj); quantize
+      stage E: x = x2 + mlp.c_proj_q(gate)          (block propagation)
+
+    Memory: activations are held as whole (n, T, D)/(n, T, I) f32 arrays — at
+    the reference protocol (128 x 2048, D=4096) that is ~4 GB per tensor and
+    ~10.7 GB for the 7B MLP gate; 65B-scale D needs the batch loop to also
+    spill stages to host (not implemented).
+
     Returns params with the same quantized leaf layout as
     ``llama.quantize_params(config.replace(quantize="int4"))``.
     """
@@ -251,28 +277,53 @@ def quantize_model_gptq(
     out = jax.tree_util.tree_map(lambda a: a, params)
     L = config.n_layer
 
+    def _hessian(tap_batches):
+        H = jnp.zeros((tap_batches[0].shape[-1],) * 2, jnp.float32)
+        for t in tap_batches:
+            H = accumulate_hessian(H, t)
+        return H
+
+    def _quantize_into(lp, t, H):
+        w = _get(lp, t)["w"].astype(jnp.float32)
+        q, s, z = gptq_quantize_matrix(w, H, groupsize=groupsize, actorder=actorder)
+        _get(lp, t).pop("w")
+        _get(lp, t)["qw"] = pack_q4(q)
+        _get(lp, t)["qscale"] = s
+        _get(lp, t)["qzero"] = z
+
+    def _batched(fn, *arrays):
+        return jnp.concatenate(
+            [fn(*(a[b : b + batch] for a in arrays)) for b in range(0, n_samples, batch)]
+        )
+
     for layer in range(L):
         lp = jax.tree_util.tree_map(lambda a: a[layer], params["h"])
-        # pass 1: Hessians over all calib samples
-        Hs = {t: jnp.zeros((_get(lp, t)["w"].shape[0],) * 2, jnp.float32) for t in _BLOCK_TARGETS}
-        for b in range(0, n_samples, batch):
-            _, taps = _attn_forward_tapped(lp, xs[b : b + batch], rope, mask, config)
-            for t in _BLOCK_TARGETS:
-                Hs[t] = accumulate_hessian(Hs[t], taps[t])
-        # quantize each linear
-        for t in _BLOCK_TARGETS:
-            w = _get(lp, t)["w"].astype(jnp.float32)
-            q, s, z = gptq_quantize_matrix(w, Hs[t], groupsize=groupsize, actorder=actorder)
-            _get(lp, t).pop("w")
-            _get(lp, t)["qw"] = pack_q4(q)
-            _get(lp, t)["qscale"] = s
-            _get(lp, t)["qzero"] = z
-        # pass 2: propagate through the quantized block
-        new_xs = []
-        for b in range(0, n_samples, batch):
-            y, _ = _attn_forward_tapped(lp, xs[b : b + batch], rope, mask, config)
-            new_xs.append(y)
-        xs = jnp.concatenate(new_xs, axis=0)
+        # stage A: rms_1 output -> c_attn Hessian
+        h1 = _batched(lambda x: rms_norm(x, lp["rms_1"]), xs)
+        _quantize_into(lp, "attn.c_attn", _hessian([h1]))
+        # stage B: attention outputs THROUGH the quantized c_attn -> c_proj H
+        y = _batched(lambda h: _stage_attn(lp, h, rope, mask, config), h1)
+        del h1
+        _quantize_into(lp, "attn.c_proj", _hessian([y]))
+        # stage C: residual + quantized c_proj -> rms_2 output (c_fc1/c_fc2
+        # share it: neither depends on the other, so one Hessian serves both)
+        x2 = _batched(lambda x, yy: x + linear(lp["attn"]["c_proj"], yy), xs, y)
+        del y
+        h2 = _batched(lambda x: rms_norm(x, lp["rms_2"]), x2)
+        H_fc = _hessian([h2])
+        _quantize_into(lp, "mlp.c_fc1", H_fc)
+        _quantize_into(lp, "mlp.c_fc2", H_fc)
+        # stage D: SwiGLU gate through the quantized up-projections
+        gate = _batched(
+            lambda h: jax.nn.silu(linear(lp["mlp"]["c_fc1"], h))
+            * linear(lp["mlp"]["c_fc2"], h),
+            h2,
+        )
+        del h2
+        _quantize_into(lp, "mlp.c_proj", _hessian([gate]))
+        # stage E: propagate through the fully quantized block
+        xs = _batched(lambda x, g: x + linear(lp["mlp"]["c_proj"], g), x2, gate)
+        del x2, gate
         # write the quantized leaves back into the stacked tree
         for t in _BLOCK_TARGETS:
             dst = _get(out["h"], t)

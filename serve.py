@@ -105,6 +105,9 @@ def main(
     )
     print("warming up (compiling prefill buckets + decode step)...", file=sys.stderr)
     engine.warmup()
+    from lit_llama_tpu.utils.memory import print_peak_memory
+
+    print_peak_memory()  # weights + slotted KV cache (reference: generate.py:154-155)
     server = _Server(engine, tokenizer)
     t = threading.Thread(target=server.loop, daemon=True)
     t.start()

@@ -100,6 +100,61 @@ def test_quantize_model_gptq_end_to_end(rng):
     assert r > 0.95
 
 
+def test_quantize_model_gptq_sequential_within_block(rng):
+    """Each linear's Hessian must be collected with the EARLIER linears of the
+    same block already quantized (reference: quantize/gptq.py:75-110 re-runs
+    the block per submodule). Reproduce the staged walk by hand for one block
+    and require bit-exact agreement with the driver — an
+    all-taps-from-the-dense-block driver fails this on attn.c_proj and
+    mlp.c_proj."""
+    from lit_llama_tpu.ops.norm import rms_norm
+    from lit_llama_tpu.ops.linear import linear
+    from lit_llama_tpu.ops.rope import build_rope_cache
+
+    cfg = LLaMAConfig(
+        block_size=32, vocab_size=64, n_layer=1, n_head=2, n_embd=64,
+        quant_groupsize=32,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(1))
+    calib = jnp.asarray(rng.integers(0, 64, size=(4, 16)), jnp.int32)
+    gs = 32
+    qparams = gptq.quantize_model_gptq(params, cfg, calib, groupsize=gs, batch=2)
+
+    # hand-staged expectation
+    lp = jax.tree_util.tree_map(lambda a: a[0], params["h"])
+    rope = build_rope_cache(cfg.block_size, cfg.head_size)[:16]
+    mask = jnp.tril(jnp.ones((16, 16), bool))[None, None]
+    xs = params["wte"][calib].astype(jnp.float32)
+
+    def quant(t, tap):
+        H = gptq.accumulate_hessian(
+            jnp.zeros((tap.shape[-1],) * 2, jnp.float32), tap
+        )
+        parts = t.split(".")
+        w = lp[parts[0]][parts[1]]["w"].astype(jnp.float32)
+        q, s, z = gptq.gptq_quantize_matrix(w, H, groupsize=gs)
+        lp[parts[0]][parts[1]] = {"qw": gptq.pack_q4(q), "qscale": s, "qzero": z}
+
+    h1 = rms_norm(xs, lp["rms_1"])
+    quant("attn.c_attn", h1)
+    y = gptq._stage_attn(lp, h1, rope, mask, cfg)  # through quantized c_attn
+    quant("attn.c_proj", y)
+    x2 = xs + linear(lp["attn"]["c_proj"], y)
+    h2 = rms_norm(x2, lp["rms_2"])
+    quant("mlp.c_fc1", h2)
+    quant("mlp.c_fc2", h2)
+    gate = jax.nn.silu(linear(lp["mlp"]["c_fc1"], h2)) * linear(lp["mlp"]["c_fc2"], h2)
+    quant("mlp.c_proj", gate)
+
+    for t in ("attn.c_attn", "attn.c_proj", "mlp.c_fc1", "mlp.c_fc2", "mlp.c_proj"):
+        parts = t.split(".")
+        got = qparams["h"][parts[0]][parts[1]]
+        want = lp[parts[0]][parts[1]]
+        np.testing.assert_array_equal(
+            np.asarray(got["qw"][0]), np.asarray(want["qw"]), err_msg=t
+        )
+
+
 def test_gptq_actorder_improves_on_skewed_hessian(rng):
     """actorder quantizes high-curvature rows first; on a Hessian with strongly
     skewed diagonal scattered across groups it must not lose to the natural
