@@ -405,8 +405,16 @@ def forward(
         pos = jnp.clip(slot_pos, 0, config.block_size - 1)
         rope = jnp.take(rope_cache, pos, axis=0)[:, None]  # (B, 1, hs/2, 2)
         key_slots = jnp.arange(S)
+        # saturating mask: once slot_pos >= S-1 every cache row is visible
         mask = (key_slots[None, :] <= slot_pos[:, None])[:, None, None, :]
-        write_pos = slot_pos
+        # Per-slot RING buffer for long generation (reference roll-left:
+        # model.py:211-221): past the cache the write wraps and overwrites the
+        # slot's oldest row. Attention is permutation-invariant over key
+        # slots, so the retained KV set — and thus the output — is identical
+        # to the reference's roll, at O(1) per step instead of a full-cache
+        # shift (each cached k/v keeps its original RoPE rotation in both
+        # schemes; only the storage order differs).
+        write_pos = slot_pos % S
         limit = slot_pos
     elif input_pos is None:
         rope = jax.lax.slice_in_dim(rope_cache, 0, T, axis=0)

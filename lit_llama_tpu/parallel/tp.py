@@ -35,7 +35,7 @@ from jax import shard_map
 
 from lit_llama_tpu.models import llama
 from lit_llama_tpu.models.config import LLaMAConfig
-from lit_llama_tpu.parallel.mesh import MODEL_AXIS
+from lit_llama_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 Params = Dict[str, Any]
 
@@ -202,13 +202,17 @@ def shard_params_tp(
     )
 
 
-def cache_spec() -> P:
-    return P(None, None, MODEL_AXIS, None, None)  # heads sharded
+def cache_spec(data: bool = False) -> P:
+    """Stacked-cache (L, B, H, S, hs) spec: heads over ``model``; with
+    ``data=True`` the batch (slot) axis is additionally sharded over ``data`` —
+    each data-group of devices holds its own slots' cache rows (DP serving,
+    VERDICT r2 next #6)."""
+    return P(None, DATA_AXIS if data else None, MODEL_AXIS, None, None)
 
 
-def cache_specs(config: LLaMAConfig):
+def cache_specs(config: LLaMAConfig, data: bool = False):
     keys = ["k", "v"] + (["ks", "vs"] if config.kv_cache_dtype == "int8" else [])
-    return {k: cache_spec() for k in keys}
+    return {k: cache_spec(data) for k in keys}
 
 
 def make_sharded_forwards(config: LLaMAConfig, mesh: Mesh, params_template: Params):
@@ -217,9 +221,16 @@ def make_sharded_forwards(config: LLaMAConfig, mesh: Mesh, params_template: Para
 
     fwd_prefill(params, tokens (B,T), input_pos (T,), cache) -> (logits, cache)
     fwd_decode(params, tokens (B,1), slot_pos (B,), cache) -> (logits, cache)
+
+    When the mesh's ``data`` axis is > 1 the DECODE path shards the batch/slot
+    axis over it (tokens, slot_pos, cache batch dim, logits) — the forward is
+    batch-parallel, so each data-group decodes only its local slots with zero
+    cross-data communication. Prefill stays data-replicated: it runs on a
+    single sliced slot (batch 1), which cannot split over the data axis; the
+    jit around it reshards that one slot's rows in and out.
     """
+    dp = mesh.shape.get(DATA_AXIS, 1) > 1
     pspecs = tp_param_specs(params_template)
-    cspec = cache_specs(config)
     rep = P()
 
     def _prefill(params, tokens, input_pos, cache):
@@ -234,8 +245,20 @@ def make_sharded_forwards(config: LLaMAConfig, mesh: Mesh, params_template: Para
             tp_axis=MODEL_AXIS,
         )
 
-    common = dict(mesh=mesh, in_specs=(pspecs, rep, rep, cspec), out_specs=(rep, cspec), check_vma=False)
-    return shard_map(_prefill, **common), shard_map(_decode, **common)
+    prefill = shard_map(
+        _prefill, mesh=mesh,
+        in_specs=(pspecs, rep, rep, cache_specs(config)),
+        out_specs=(rep, cache_specs(config)),
+        check_vma=False,
+    )
+    batched = P(DATA_AXIS) if dp else rep
+    decode = shard_map(
+        _decode, mesh=mesh,
+        in_specs=(pspecs, batched, batched, cache_specs(config, data=dp)),
+        out_specs=(batched, cache_specs(config, data=dp)),
+        check_vma=False,
+    )
+    return prefill, decode
 
 
 def make_tp_forward(config: LLaMAConfig, mesh: Mesh, params_template: Params):
@@ -247,7 +270,11 @@ def make_tp_forward(config: LLaMAConfig, mesh: Mesh, params_template: Params):
 def init_tp_cache(
     config: LLaMAConfig, mesh: Mesh, batch_size: int, max_seq_length: int, dtype=None
 ):
+    """Slots shard over ``data`` (when the axis is >1 and divides the batch),
+    heads over ``model``."""
+    dp = mesh.shape.get(DATA_AXIS, 1)
+    data = dp > 1 and batch_size % dp == 0
     cache = llama.init_kv_cache(config, batch_size, max_seq_length, dtype)
     return jax.tree_util.tree_map(
-        lambda c: jax.device_put(c, NamedSharding(mesh, cache_spec())), cache
+        lambda c: jax.device_put(c, NamedSharding(mesh, cache_spec(data))), cache
     )

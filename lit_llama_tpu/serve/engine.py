@@ -102,7 +102,11 @@ class DecodeEngine:
         """``mesh``: a {data, model} jax mesh. When its model axis is > 1, the
         engine shards heads/MLP/vocab across it via the shard_map TP path
         (parallel/tp.py) — multi-chip continuous batching with the KV cache
-        tensor-sharded over heads (north-star config #5).
+        tensor-sharded over heads (north-star config #5). When its data axis
+        is > 1 the slot (batch) axis shards over it: weights are replicated
+        per data group, each group's HBM holds only its own B/dp slots' cache,
+        and the decode step runs with no cross-data communication (prefill
+        reshards one slot's rows in/out). Both axes compose (dp x mp).
 
         ``prefill_chunk`` / ``prefill_budget``: admission control (VERDICT r1
         weak #3 — a burst of long prompts must not starve in-flight decodes).
@@ -115,6 +119,12 @@ class DecodeEngine:
         only)."""
         self.mesh = mesh
         mp = mesh.shape.get("model", 1) if mesh is not None else 1
+        dp = mesh.shape.get("data", 1) if mesh is not None else 1
+        if dp > 1 and max_batch % dp:
+            raise ValueError(
+                f"max_batch={max_batch} must be divisible by the mesh data "
+                f"axis ({dp}) — slots shard evenly across data groups"
+            )
         if mp > 1:
             from lit_llama_tpu.parallel import tp as tp_lib
 
@@ -125,6 +135,15 @@ class DecodeEngine:
         else:
             # inference layout: unrolled layers, no per-step weight-slice copies
             self.params = llama.unstack_layers(params)
+            if dp > 1:
+                # data-parallel serving (VERDICT r2 next #6): weights replicated
+                # per data group, slots sharded — jit-SPMD partitions the
+                # batch-parallel decode step with no cross-data communication
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                self.params = jax.device_put(
+                    self.params, NamedSharding(mesh, PartitionSpec())
+                )
             self._fwd_prefill = self._fwd_decode = None
         self.config = config
         self.B = max_batch
@@ -149,6 +168,15 @@ class DecodeEngine:
             self.cache = llama.unstack_kv_cache(
                 llama.init_kv_cache(config, self.B, self.S, dtype)
             )
+            if dp > 1:
+                # slot rows live on their data group's HBM — B/dp slots per
+                # group instead of every chip holding the full slot cache
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                batch_sharded = NamedSharding(mesh, PartitionSpec("data"))
+                self.cache = jax.tree_util.tree_map(
+                    lambda c: jax.device_put(c, batch_sharded), self.cache
+                )
         self.slot_pos = np.zeros((self.B,), np.int32)
         self.last_tok = np.zeros((self.B,), np.int32)
         self.temps = np.zeros((self.B,), np.float32)
@@ -452,7 +480,11 @@ class DecodeEngine:
                 req.generated.append(tok)
                 self.slot_pos[b] += 1
                 self.last_tok[b] = tok
-                if self._finished(req) or self.slot_pos[b] >= self.S - 1:
+                # no retire-at-S-1: past the cache the slot's writes wrap its
+                # ring buffer (models/llama.py slot_pos path), matching the
+                # single-stream rolling window — a request may generate far
+                # beyond max_seq_length with a sliding context
+                if self._finished(req):
                     done.append(req)
                     self._retire(b)
                     break

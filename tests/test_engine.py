@@ -119,6 +119,74 @@ def test_engine_tensor_parallel_matches_single_device(setup):
         assert done[rid].generated == ref_greedy(params, cfg, p, 6), rid
 
 
+def test_engine_data_parallel_matches_single_device(setup):
+    """Slots sharded over the mesh data axis (weights replicated per group)
+    produce the same greedy tokens as the unsharded engine (VERDICT r2 next
+    #6: data-parallel serving)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from lit_llama_tpu.parallel import mesh as mesh_lib
+
+    cfg, params = setup
+    mesh = mesh_lib.make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, 97, size=n).astype(np.int32) for n in (5, 12, 3, 17, 9)]
+
+    eng = DecodeEngine(params, cfg, max_batch=4, mesh=mesh, steps_per_sync=2)
+    ids = [eng.submit(p, 6) for p in prompts]
+    done = eng.run()
+    assert set(done) == set(ids)
+    for rid, p in zip(ids, prompts):
+        assert done[rid].generated == ref_greedy(params, cfg, p, 6), rid
+
+    with pytest.raises(ValueError):
+        DecodeEngine(params, cfg, max_batch=3, mesh=mesh)  # 3 % dp(4) != 0
+
+
+def test_engine_dp_times_tp_matches_single_device(setup):
+    """Composed dp=4 x mp=2 mesh: slots shard over data, heads over model
+    (shard_map TP with a data-sharded decode batch)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from lit_llama_tpu.parallel import mesh as mesh_lib
+
+    cfg, params = setup
+    mesh = mesh_lib.make_mesh(data=4, model=2, devices=jax.devices()[:8])
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(1, 97, size=n).astype(np.int32) for n in (7, 4, 13, 10)]
+
+    eng = DecodeEngine(params, cfg, max_batch=4, mesh=mesh, steps_per_sync=2)
+    ids = [eng.submit(p, 6) for p in prompts]
+    done = eng.run()
+    assert set(done) == set(ids)
+    for rid, p in zip(ids, prompts):
+        assert done[rid].generated == ref_greedy(params, cfg, p, 6), rid
+
+
+def test_engine_generates_past_cache_length(setup):
+    """A request may generate beyond max_seq_length: the slot's cache wraps as
+    a ring buffer retaining the same sliding window as the single-stream
+    roll-left path, so greedy outputs match generate() with the same
+    max_seq_length (VERDICT r2 next #7: long-generation support)."""
+    cfg, params = setup
+    rng = np.random.default_rng(9)
+    S = 16
+    prompt = rng.integers(1, 97, size=5).astype(np.int32)
+    n_new = 2 * S  # generates to position 5 + 32 = 37 >> S-1
+    expected = generate(
+        params, prompt, n_new, config=cfg, max_seq_length=S, temperature=0.0
+    )[len(prompt) :].tolist()
+
+    eng = DecodeEngine(params, cfg, max_batch=2, max_seq_length=S)
+    # a second, short request shares the batch to prove slot independence
+    other = rng.integers(1, 97, size=3).astype(np.int32)
+    i1 = eng.submit(prompt, n_new)
+    i2 = eng.submit(other, 4)
+    done = eng.run()
+    assert done[i1].generated == expected
+    assert done[i2].generated == ref_greedy(params, cfg, other, 4)
+
+
 def test_engine_chunked_prefill_matches_greedy(setup):
     """Prompts longer than prefill_chunk prefill across multiple step_once
     calls under a token budget; greedy outputs must equal the unchunked
