@@ -156,6 +156,9 @@ def run_bench() -> None:
         config, jax.random.PRNGKey(0)
     )
     params = llama.unstack_layers(params)
+    from lit_llama_tpu.ops.fused_layer import maybe_prepare_fused
+
+    params, config = maybe_prepare_fused(params, config)
     jax.block_until_ready(params)
 
     # Headline: short-context decode (cache = prompt + new tokens).

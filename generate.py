@@ -60,8 +60,12 @@ def main(
     if kv_cache_dtype:
         config = config.replace(kv_cache_dtype=kv_cache_dtype)
     from lit_llama_tpu.models.llama import unstack_layers
+    from lit_llama_tpu.ops.fused_layer import maybe_prepare_fused
 
     params = unstack_layers(params)
+    # whole-layer fused decode kernels (one Pallas launch per block) when the
+    # model qualifies (int4, hs=128, bf16 cache) and we're on TPU
+    params, config = maybe_prepare_fused(params, config)
     print(f"Time to load model: {time.time() - t0:.02f} seconds.", file=sys.stderr)
 
     tokenizer = Tokenizer(tokenizer_path)

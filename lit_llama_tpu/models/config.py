@@ -80,6 +80,11 @@ class LLaMAConfig:
     # half the cache memory and read bandwidth (beyond the reference; see
     # PAPERS.md KV-cache quantization line).
     kv_cache_dtype: Optional[str] = None
+    # RoPE pairing convention: "interleaved" (Meta, pairs (2i, 2i+1) — what
+    # every checkpoint converter produces) or "half" (pairs (i, i+hs/2) — set
+    # by ops/fused_layer.prepare_fused_params together with the matching q/k
+    # column permutation; the model is mathematically identical).
+    rope_layout: str = "interleaved"
     # PEFT variants, resolved at build time instead of monkeypatching.
     lora: Optional[LoRAConfig] = None
     adapter: Optional[AdapterConfig] = None

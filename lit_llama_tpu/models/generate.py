@@ -109,19 +109,51 @@ def _generate_compiled(
     # (XLA flattens the roll cond into slices + select)
     can_overflow = T + max_new_tokens > max_seq_length
 
+    # Whole-layer fused decode (ops/fused_layer.py): params prepared by
+    # prepare_fused_params carry rope_layout == "half"; each decode step is
+    # then ONE Pallas launch per block + lm_head — no per-op XLA work, no
+    # roll (the cache wraps as a ring, same retained window).
+    fused = config.rope_layout == "half" and isinstance(
+        params.get("h"), (list, tuple)
+    )
+
+    def fused_step(tok, pos, cache, key):
+        from lit_llama_tpu.ops.fused_layer import decode_layer_fused
+        from lit_llama_tpu.ops.linear import linear
+        from lit_llama_tpu.ops.norm import rms_norm
+        from lit_llama_tpu.ops.rope import rope_half_row
+
+        S = max_seq_length
+        cosf, sinf = rope_half_row(
+            rope_cache, jnp.clip(pos, 0, config.block_size - 1), config.head_size
+        )
+        x = jnp.take(params["wte"], tok, axis=0).astype(dtype)  # (1, D)
+        new_layers = []
+        for lp, kv_l in zip(params["h"], cache):
+            x, kv_l = decode_layer_fused(
+                x, lp, kv_l, cosf, sinf, pos % S, pos, config
+            )
+            new_layers.append(kv_l)
+        x = rms_norm(x, params["ln_f"])
+        return linear(params["lm_head"], x), tuple(new_layers)
+
     def body(state):
         i, buf, cache, key, done = state
         pos = T + i
         tok = jax.lax.dynamic_slice(buf, (pos,), (1,))
-        logits, cache = llama.forward(
-            params,
-            tok[None, :],
-            config,
-            rope_cache=rope_cache,
-            input_pos=jnp.array([0]) + pos,
-            kv_cache=cache,
-            can_overflow=can_overflow,
-        )
+        if fused:
+            logits, cache = fused_step(tok, pos, cache, key)
+            logits = logits[None]  # (1, 1, V)
+        else:
+            logits, cache = llama.forward(
+                params,
+                tok[None, :],
+                config,
+                rope_cache=rope_cache,
+                input_pos=jnp.array([0]) + pos,
+                kv_cache=cache,
+                can_overflow=can_overflow,
+            )
         key, sub = jax.random.split(key)
         nxt = sample_logits(logits[0, -1].astype(jnp.float32), sub, temperature, top_k)
         buf = jax.lax.dynamic_update_slice(buf, nxt[None], (pos + 1,))
@@ -161,6 +193,9 @@ def generate(
     T_new = T + max_new_tokens
     if max_seq_length is None:
         max_seq_length = min(T_new, config.block_size)
+    if config.rope_layout == "half" and max_seq_length > 512:
+        # fused decode kernel streams the cache in 128-row blocks past 512
+        max_seq_length = min(-(-max_seq_length // 128) * 128, config.block_size)
     if key is None:
         key = jax.random.PRNGKey(0)
     buf, n_generated = _generate_compiled(

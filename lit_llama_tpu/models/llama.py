@@ -225,8 +225,14 @@ def _causal_self_attention(
     k = k.reshape(B, T, H, hs)
     v = v.reshape(B, T, H, hs)
 
-    q = apply_rope(q, rope)
-    k = apply_rope(k, rope)
+    if config.rope_layout == "half":
+        from lit_llama_tpu.ops.rope import apply_rope_half
+
+        q = apply_rope_half(q, rope)
+        k = apply_rope_half(k, rope)
+    else:
+        q = apply_rope(q, rope)
+        k = apply_rope(k, rope)
 
     q = q.transpose(0, 2, 1, 3)  # (B, H, T, hs)
     k = k.transpose(0, 2, 1, 3)

@@ -1,0 +1,497 @@
+"""Whole-layer fused decode kernel: ONE Pallas launch per transformer block.
+
+Single-token decode at 7B is weight-bandwidth-bound, and round-2 profiling put
+~2.2 ms of the 7.46 ms step OUTSIDE the matmul kernels: ~1.35 ms of fixed
+per-launch gaps across 97 launches, 0.6 ms of XLA fusions (norms/rope/
+attention/residuals) and 0.3 ms of operand relayout copies. This kernel runs
+an ENTIRE block — rms_1, fused-QKV int4 matvec, RoPE, KV-cache row write,
+decode attention over the cache, output projection, residual, rms_2, SwiGLU
+int4 matvecs, residual — as one grid-less Pallas program that streams every
+weight byte HBM->VMEM itself with double-buffered manual DMA (the guide's
+run_scoped + make_async_copy pattern). 97 launches/step become 33
+(32 layers + lm_head), and all inter-op XLA work disappears into VPU code
+next to the dots.
+
+Replaces (at decode shapes) the composition of the reference's per-op stack:
+Triton int4 matmul (lit_llama/quantization.py:187-282), SDPA decode attention
+(lit_llama/model.py:230), RMSNorm/rope/residual modules (model.py:148-168).
+
+Layout contracts (all enforced by ``fused_layer_supported``):
+* head_size == 128 — rope rides a half-rotation lane roll (``pltpu.roll``),
+  which needs pairs (i, i+64) within one 128-lane register row.
+* weights int4-packed half-split along K (ops/linear.pack_int4), EVEN group
+  count per tensor, 128-multiple N.
+* c_attn columns permuted per head to the half-rotation basis by
+  ``prepare_fused_params`` (scores are invariant: q and k share the
+  permutation; v and every other weight are untouched). The SAME model with
+  ``config.rope_layout == "half"`` runs the standard XLA path for prefill.
+* KV cache bf16 (1, H, S, hs); the kernel writes the new row in place
+  (input_output_aliased) at ``write_pos`` and attends rows <= ``limit`` —
+  ring-buffer semantics, matching roll-left overflow up to key order (see
+  models/llama.py slot_pos path).
+
+The matvec work vectors are (8, K) f32 with only row 0 live: M=1 padded to the
+8-sublane tile, dots run (8, gs) @ (gs, bn) in the natural orientation (no
+operand transposes — the round-2 finding that natural-layout operands are slow
+applied to XLA's scheduling of separate kernels, not to VMEM-resident slices).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Params = Dict[str, Any]
+
+NEG_INF = float(-1e30)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel building blocks
+# ---------------------------------------------------------------------------
+
+
+def _rms_norm_rows(x, w_ref, eps=1e-5):
+    """(8, D) f32 row-wise RMSNorm; dead rows (all zero) stay zero."""
+    ss = jnp.mean(x * x, axis=1, keepdims=True)
+    return x * jax.lax.rsqrt(ss + eps) * w_ref[:].astype(jnp.float32)
+
+
+def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
+             residual_ref=None, sublanes=8):
+    """dst[:, :N] = src @ dequant(qw) (+ residual), streaming the weight.
+
+    src_ref: (8, K) f32 VMEM scratch (row 0 live). qw (K/2, N) u8 HBM,
+    qs/qz (G, N) f32 HBM. One n-block per iteration, K untiled (decode blocks
+    are K-major streams; the largest 7B stage is 5504 x bn bytes per block).
+    """
+    G = K // gs
+    Gh = G // 2
+    Kh = K // 2
+    NB = N // bn
+
+    # group sums of src for the factored zero-point term (f32, exact)
+    gx = jnp.sum(src_ref[:].reshape(sublanes, G, gs), axis=2)  # (8, G)
+    gx_lo, gx_hi = gx[:, :Gh], gx[:, Gh:]
+
+    def stage(wbuf, sbuf, zbuf, sems):
+        def dmas(slot, nb):
+            n0 = nb * bn
+            return (
+                pltpu.make_async_copy(
+                    qw.at[:, pl.ds(n0, bn)], wbuf.at[slot], sems.at[slot, 0]
+                ),
+                pltpu.make_async_copy(
+                    qs.at[:, pl.ds(n0, bn)], sbuf.at[slot], sems.at[slot, 1]
+                ),
+                pltpu.make_async_copy(
+                    qz.at[:, pl.ds(n0, bn)], zbuf.at[slot], sems.at[slot, 2]
+                ),
+            )
+
+        for d in dmas(0, 0):
+            d.start()
+        for nb in range(NB):  # static: block count is shape-derived
+            slot = nb % 2
+            if nb + 1 < NB:
+                for d in dmas((nb + 1) % 2, nb + 1):
+                    d.start()
+            for d in dmas(slot, nb):
+                d.wait()
+            p32 = wbuf[slot].astype(jnp.int32)  # (Kh, bn)
+            acc = jax.lax.dot_general(
+                gx_lo, zbuf[slot][:Gh], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc += jax.lax.dot_general(
+                gx_hi, zbuf[slot][Gh:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for g in range(Gh):
+                rows = p32[g * gs : (g + 1) * gs]
+                low_q = (rows & 0xF).astype(cdtype)
+                high_q = (rows >> 4).astype(cdtype)
+                xlo = src_ref[:, g * gs : (g + 1) * gs].astype(cdtype)
+                xhi = src_ref[:, Kh + g * gs : Kh + (g + 1) * gs].astype(cdtype)
+                lo_dot = jax.lax.dot_general(
+                    xlo, low_q, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                hi_dot = jax.lax.dot_general(
+                    xhi, high_q, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc += lo_dot * sbuf[slot][g : g + 1]
+                acc += hi_dot * sbuf[slot][Gh + g : Gh + g + 1]
+            if residual_ref is not None:
+                acc += residual_ref[:, nb * bn : (nb + 1) * bn]
+            dst_ref[:, nb * bn : (nb + 1) * bn] = acc
+
+    pl.run_scoped(
+        stage,
+        pltpu.VMEM((2, Kh, bn), jnp.uint8),
+        pltpu.VMEM((2, G, bn), jnp.float32),
+        pltpu.VMEM((2, G, bn), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 3)),
+    )
+
+
+def _decode_attention(q3_ref, kc, vc, o_ref, limit, *, H, S, hs, bs, cdtype):
+    """Online-softmax decode attention for one query row per head.
+
+    q3_ref (H, hs) cdtype VMEM; kc/vc (1, H, S, hs) cdtype HBM refs (the
+    aliased cache OUTPUT refs, read after the new row's write completed);
+    o_ref (H, hs) f32 VMEM out. Key slot s visible iff s <= limit.
+    Head-batched VPU multiply-reduce (the round-2 finding: M=1 MXU dots per
+    head pay a fixed pass latency each; see ops/decode_attention.py).
+    """
+    scale = 1.0 / (hs**0.5)
+    NSB = S // bs
+
+    def stage(kbuf, vbuf, m_s, l_s, acc_s, sems):
+        def dmas(slot, sb):
+            s0 = sb * bs
+            return (
+                pltpu.make_async_copy(
+                    kc.at[0, :, pl.ds(s0, bs), :], kbuf.at[slot], sems.at[slot, 0]
+                ),
+                pltpu.make_async_copy(
+                    vc.at[0, :, pl.ds(s0, bs), :], vbuf.at[slot], sems.at[slot, 1]
+                ),
+            )
+
+        m_s[:] = jnp.full_like(m_s, NEG_INF)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+        for d in dmas(0, 0):
+            d.start()
+        q3 = q3_ref[:]
+        for sb in range(NSB):
+            slot = sb % 2
+            if sb + 1 < NSB:
+                for d in dmas((sb + 1) % 2, sb + 1):
+                    d.start()
+            for d in dmas(slot, sb):
+                d.wait()
+            base = sb * bs
+
+            @pl.when(base <= limit)
+            def _():
+                k3 = kbuf[slot]  # (H, bs, hs)
+                s = jnp.sum(
+                    (k3 * q3[:, None, :]).astype(jnp.float32), axis=-1
+                )  # (H, bs)
+                s = s * scale
+                rows = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1) + base
+                s = jnp.where(rows <= limit, s, NEG_INF)
+                m_prev = m_s[:]
+                m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.exp(s - m_new)
+                l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                m_s[:] = m_new
+                pv = jnp.sum(
+                    (p.astype(cdtype)[:, :, None] * vbuf[slot]).astype(jnp.float32),
+                    axis=1,
+                )  # (H, hs)
+                acc_s[:] = acc_s[:] * alpha + pv
+
+        o_ref[:] = acc_s[:] / jnp.maximum(l_s[:], 1e-30)
+
+    pl.run_scoped(
+        stage,
+        pltpu.VMEM((2, H, bs, hs), cdtype),
+        pltpu.VMEM((2, H, bs, hs), cdtype),
+        pltpu.VMEM((H, 1), jnp.float32),
+        pltpu.VMEM((H, 1), jnp.float32),
+        pltpu.VMEM((H, hs), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The whole-layer kernel
+# ---------------------------------------------------------------------------
+
+
+def _layer_kernel(
+    # scalars (SMEM)
+    wp_ref, limit_ref,
+    # small VMEM operands
+    x_ref, rms1_ref, rms2_ref, cos_ref, sin_ref,
+    # HBM weight planes
+    ca_qw, ca_qs, ca_qz, cp_qw, cp_qs, cp_qz,
+    f12_qw, f12_qs, f12_qz, mp_qw, mp_qs, mp_qz,
+    kc_in, vc_in,
+    # outputs
+    xo_ref, kc_out, vc_out,
+    # persistent scratch
+    xs, h, qkv, fg, gg, q3, knew, vnew,
+    *, D, I, H, S, hs, gs, bn_ca, bn_cp, bn_f12, bn_mp, bs, cdtype,
+):
+    wp = wp_ref[0]
+    limit = limit_ref[0]
+
+    # residual stream: row 0 live, rows 1-7 identically zero
+    xs[:] = jnp.zeros_like(xs)
+    xs[0:1, :] = x_ref[:].astype(jnp.float32)
+
+    # ---- attention half ----------------------------------------------------
+    h[:] = _rms_norm_rows(xs[:], rms1_ref)
+    _mv_int4(h, qkv, ca_qw, ca_qs, ca_qz, K=D, N=3 * D, gs=gs, bn=bn_ca,
+             cdtype=cdtype)
+
+    # per-head extraction (lane-aligned (1, hs) copies; no cross-lane reshape)
+    rot = pltpu.roll  # pairs (i, i+hs/2) rotate within one lane row
+    cosf = cos_ref[:].astype(jnp.float32)  # (1, hs)
+    sinf = sin_ref[:]
+    for head in range(H):
+        qh = qkv[0:1, head * hs : (head + 1) * hs].astype(jnp.float32)
+        kh = qkv[0:1, D + head * hs : D + (head + 1) * hs].astype(jnp.float32)
+        vh = qkv[0:1, 2 * D + head * hs : 2 * D + (head + 1) * hs]
+        q3[head : head + 1, :] = (qh * cosf + rot(qh, hs // 2, axis=1) * sinf).astype(cdtype)
+        knew[head, 0:1, :] = (kh * cosf + rot(kh, hs // 2, axis=1) * sinf).astype(cdtype)
+        vnew[head, 0:1, :] = vh.astype(cdtype)
+
+    # write the new row in place, then attend over the cache including it
+    def write_rows(sems):
+        kd = pltpu.make_async_copy(knew, kc_out.at[0, :, pl.ds(wp, 1), :], sems.at[0])
+        vd = pltpu.make_async_copy(vnew, vc_out.at[0, :, pl.ds(wp, 1), :], sems.at[1])
+        kd.start()
+        vd.start()
+        kd.wait()
+        vd.wait()
+
+    pl.run_scoped(write_rows, pltpu.SemaphoreType.DMA((2,)))
+
+    def att_out(y_s):
+        _decode_attention(q3, kc_out, vc_out, y_s, limit, H=H, S=S, hs=hs, bs=bs,
+                          cdtype=cdtype)
+        h[:] = jnp.zeros_like(h)
+        for head in range(H):
+            h[0:1, head * hs : (head + 1) * hs] = y_s[head : head + 1, :]
+
+    pl.run_scoped(att_out, pltpu.VMEM((H, hs), jnp.float32))
+
+    _mv_int4(h, xs, cp_qw, cp_qs, cp_qz, K=D, N=D, gs=gs, bn=bn_cp,
+             cdtype=cdtype, residual_ref=xs)
+
+    # ---- MLP half -----------------------------------------------------------
+    h[:] = _rms_norm_rows(xs[:], rms2_ref)
+    _mv_int4(h, fg, f12_qw, f12_qs, f12_qz, K=D, N=2 * I, gs=gs, bn=bn_f12,
+             cdtype=cdtype)
+    gg[:] = jax.nn.silu(fg[:, :I]) * fg[:, I:]
+    _mv_int4(gg, xs, mp_qw, mp_qs, mp_qz, K=I, N=D, gs=gs, bn=bn_mp,
+             cdtype=cdtype, residual_ref=xs)
+
+    xo_ref[:] = xs[0:1, :].astype(xo_ref.dtype)
+
+
+def _pick_bn(N: int, cap: int) -> int:
+    for bn in (cap, 2048, 1024, 512, 256, 128):
+        if bn <= cap and N % bn == 0:
+            return bn
+    raise ValueError(f"N={N} has no 128-multiple block divisor <= {cap}")
+
+
+def _pick_bs(S: int) -> int:
+    if S <= 512:
+        return S
+    for bs in (512, 256, 128):
+        if S % bs == 0:
+            return bs
+    raise ValueError(f"S={S} not tileable (need S % 128 == 0 for S > 512)")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("D", "I", "H", "S", "hs", "gs", "cdtype", "interpret"),
+)
+def _call_layer(
+    wp, limit, x, rms1, rms2, cosf, sinf, weights, kc, vc,
+    *, D, I, H, S, hs, gs, cdtype, interpret=False,
+):
+    bn_ca = _pick_bn(3 * D, 2048)
+    bn_cp = _pick_bn(D, 2048)
+    bn_f12 = _pick_bn(2 * I, 2048)
+    bn_mp = _pick_bn(D, 2048)
+    bs = _pick_bs(S)
+    kernel = functools.partial(
+        _layer_kernel, D=D, I=I, H=H, S=S, hs=hs, gs=gs,
+        bn_ca=bn_ca, bn_cp=bn_cp, bn_f12=bn_f12, bn_mp=bn_mp, bs=bs,
+        cdtype=jnp.dtype(cdtype),
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    kbytes = D * D // 2 * 4 + D * I // 2 * 3  # packed weight bytes per layer
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, D), x.dtype),
+            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+        ),
+        in_specs=[smem, smem, vmem, vmem, vmem, vmem, vmem]
+        + [hbm] * 12
+        + [hbm, hbm],
+        out_specs=(vmem, hbm, hbm),
+        input_output_aliases={19: 1, 20: 2},  # kc, vc update in place
+        scratch_shapes=[
+            pltpu.VMEM((8, D), jnp.float32),       # xs
+            pltpu.VMEM((8, D), jnp.float32),       # h (normed vec / attn out)
+            pltpu.VMEM((8, 3 * D), jnp.float32),   # qkv
+            pltpu.VMEM((8, 2 * I), jnp.float32),   # fc12 out
+            pltpu.VMEM((8, I), jnp.float32),       # gate
+            pltpu.VMEM((H, hs), jnp.dtype(cdtype)),  # q3
+            pltpu.VMEM((H, 1, hs), kc.dtype),      # knew
+            pltpu.VMEM((H, 1, hs), kc.dtype),      # vnew
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (4 * D * D + 3 * D * I) + 4 * H * S * hs,
+            bytes_accessed=kbytes + 2 * H * S * hs * kc.dtype.itemsize,
+            transcendentals=H * S + 2 * I,
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        wp, limit, x, rms1, rms2, cosf, sinf,
+        weights["ca_qw"], weights["ca_qs"], weights["ca_qz"],
+        weights["cp_qw"], weights["cp_qs"], weights["cp_qz"],
+        weights["f12_qw"], weights["f12_qs"], weights["f12_qz"],
+        weights["mp_qw"], weights["mp_qs"], weights["mp_qz"],
+        kc, vc,
+    )
+    return out
+
+
+def decode_layer_fused(
+    x: jnp.ndarray,  # (1, D) compute dtype
+    lp: Params,  # prepared layer params (see prepare_fused_params)
+    kv: Dict[str, jnp.ndarray],  # {"k": (1, H, S, hs), "v": ...} bf16
+    cosf: jnp.ndarray,  # (1, hs) f32 half-basis cos row at this position
+    sinf: jnp.ndarray,  # (1, hs) f32 SIGNED sin row (see rope.rope_half_row)
+    write_pos: jnp.ndarray,  # () int32 ring write slot (= pos % S)
+    limit: jnp.ndarray,  # () int32 visibility bound (= pos)
+    config,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """One fused block step. Returns (x_out (1, D), updated cache dict)."""
+    D, H, hs = config.n_embd, config.n_head, config.head_size
+    I = config.intermediate_size
+    S = kv["k"].shape[-2]
+    weights = {
+        "ca_qw": lp["attn"]["c_attn"]["qw"],
+        "ca_qs": lp["attn"]["c_attn"]["qscale"],
+        "ca_qz": lp["attn"]["c_attn"]["qzero"],
+        "cp_qw": lp["attn"]["c_proj"]["qw"],
+        "cp_qs": lp["attn"]["c_proj"]["qscale"],
+        "cp_qz": lp["attn"]["c_proj"]["qzero"],
+        "f12_qw": lp["mlp"]["c_fc12"]["qw"],
+        "f12_qs": lp["mlp"]["c_fc12"]["qscale"],
+        "f12_qz": lp["mlp"]["c_fc12"]["qzero"],
+        "mp_qw": lp["mlp"]["c_proj"]["qw"],
+        "mp_qs": lp["mlp"]["c_proj"]["qscale"],
+        "mp_qz": lp["mlp"]["c_proj"]["qzero"],
+    }
+    xo, kc, vc = _call_layer(
+        jnp.asarray(write_pos, jnp.int32).reshape(1),
+        jnp.asarray(limit, jnp.int32).reshape(1),
+        x, lp["rms_1"].reshape(1, D), lp["rms_2"].reshape(1, D), cosf, sinf,
+        weights, kv["k"], kv["v"],
+        D=D, I=I, H=H, S=S, hs=hs, gs=config.quant_groupsize,
+        cdtype=jnp.dtype(config.compute_dtype).name, interpret=interpret,
+    )
+    return xo, {"k": kc, "v": vc}
+
+
+# ---------------------------------------------------------------------------
+# Parameter preparation (host-side, once at load)
+# ---------------------------------------------------------------------------
+
+
+def half_basis_perm(hs: int) -> jnp.ndarray:
+    """Per-head column permutation interleaved -> half-rotation basis:
+    new column j < hs/2 holds old column 2j; new j >= hs/2 holds old 2(j-hs/2)+1
+    (the inverse of convert.hf_to_lit's un-permute)."""
+    half = hs // 2
+    return jnp.concatenate(
+        [jnp.arange(half) * 2, jnp.arange(half) * 2 + 1]
+    )
+
+
+def permute_qk_columns(c_attn: Params, D: int, hs: int) -> Params:
+    """Permute the q and k head columns of the fused QKV weight to the
+    half-rotation basis (v untouched). Applies to every (…, 3D)-trailing leaf."""
+    H = D // hs
+    per_head = half_basis_perm(hs)
+    head_perm = (jnp.arange(H)[:, None] * hs + per_head[None, :]).reshape(-1)
+    full = jnp.concatenate([head_perm, D + head_perm, 2 * D + jnp.arange(D)])
+    return {k: v[..., full] for k, v in c_attn.items()}
+
+
+def fused_layer_supported(config, params) -> bool:
+    """Static dispatch predicate for the fused decode path."""
+    if config.quantize != "int4" or config.kv_cache_dtype is not None:
+        return False
+    if config.lora is not None or config.adapter is not None:
+        return False
+    if config.head_size != 128:
+        return False
+    D, I, gs = config.n_embd, config.intermediate_size, config.quant_groupsize
+    if gs <= 0:
+        return False
+    for K in (D, I):
+        G = K // gs if gs > 0 else 0
+        # even group count (half-split planes) and group-aligned planes
+        if K % gs or G % 2 or (K // 2) % gs:
+            return False
+    if D % 256 or (3 * D) % 128 or (2 * I) % 128:
+        return False
+    h = params.get("h")
+    if not isinstance(h, (list, tuple)):
+        return False
+    lp = h[0]
+    return (
+        "qw" in lp.get("attn", {}).get("c_attn", {})
+        and "c_fc12" in lp.get("mlp", {})
+    )
+
+
+def maybe_prepare_fused(params: Params, config) -> Tuple[Params, Any]:
+    """Dispatch wrapper for CLIs: prepare the fused-kernel layout when the
+    model qualifies and we're on real TPU hardware (interpret mode covers CPU
+    in tests). Opt out with LIT_LLAMA_TPU_FUSED=0 (A/B tool)."""
+    import os
+
+    if os.environ.get("LIT_LLAMA_TPU_FUSED", "1") == "0":
+        return params, config
+    if jax.default_backend() not in ("tpu", "axon"):
+        return params, config
+    if not fused_layer_supported(config, params):
+        return params, config
+    return prepare_fused_params(params, config)
+
+
+def prepare_fused_params(params: Params, config) -> Tuple[Params, Any]:
+    """Convert unstacked int4 inference params to the fused-kernel layout:
+    c_attn q/k columns permuted to the half-rotation basis. Returns
+    (params, config) with ``config.rope_layout == "half"`` so the standard
+    XLA forward (used for prefill and as the parity reference) applies the
+    matching rotation."""
+    D, hs = config.n_embd, config.head_size
+    out = dict(params)
+    layers = []
+    for lp in params["h"]:
+        lp = dict(lp)
+        attn = dict(lp["attn"])
+        attn["c_attn"] = permute_qk_columns(dict(attn["c_attn"]), D, hs)
+        lp["attn"] = attn
+        layers.append(lp)
+    out["h"] = tuple(layers)
+    return out, config.replace(rope_layout="half")

@@ -47,3 +47,33 @@ def apply_rope(x: jnp.ndarray, rope_cache: jnp.ndarray) -> jnp.ndarray:
     x1, x2 = xs[..., 0], xs[..., 1]
     out = jnp.stack([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     return out.reshape(B, T, H, hs).astype(x.dtype)
+
+
+def apply_rope_half(x: jnp.ndarray, rope_cache: jnp.ndarray) -> jnp.ndarray:
+    """Rotation in the HALF basis: element i pairs with i + hs/2 (instead of the
+    Meta interleaved (2i, 2i+1) pairs). Used with weights whose q/k head columns
+    were permuted by ops/fused_layer.permute_qk_columns — the model is
+    mathematically identical (q and k share the permutation, so scores are
+    unchanged), and the fused decode kernel can rotate with one lane roll."""
+    B, T, H, hs = x.shape
+    xs = x.astype(jnp.float32)
+    if rope_cache.ndim == 4:
+        rc = rope_cache.astype(jnp.float32).reshape(B, T, 1, hs // 2, 2)
+    else:
+        rc = rope_cache.astype(jnp.float32).reshape(1, T, 1, hs // 2, 2)
+    cos, sin = rc[..., 0], rc[..., 1]
+    x1, x2 = xs[..., : hs // 2], xs[..., hs // 2 :]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def rope_half_row(rope_cache: jnp.ndarray, pos: jnp.ndarray, hs: int):
+    """(cos, sin_signed) (1, hs) f32 rows for the fused kernel's one-roll
+    rotation at a (traced) position: rot(q) = q * cos + roll(q, hs/2) * sin_s
+    with cos[i] = cos(theta_{i mod hs/2}) and sin_s negative on the first
+    half (see ops/fused_layer.py)."""
+    row = jnp.take(rope_cache, pos, axis=0).astype(jnp.float32)  # (hs/2, 2)
+    c, s = row[:, 0], row[:, 1]
+    cos = jnp.concatenate([c, c]).reshape(1, hs)
+    sin_s = jnp.concatenate([-s, s]).reshape(1, hs)
+    return cos, sin_s
