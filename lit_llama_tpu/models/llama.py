@@ -245,6 +245,29 @@ def _causal_self_attention(
 
         quant_cache = "ks" in kv
         S_cache = kv["k"].shape[-2]
+        # Batched (continuous-batching) decode: ONE kernel fuses the per-slot
+        # cache-row write with the attention read against the in-place
+        # (aliased) cache — the separate scatter forced a cache layout the
+        # standalone kernel made XLA copy per layer (VERDICT r2 #2).
+        if (
+            write_pos is not None
+            and write_pos.ndim == 1
+            and limit is not None
+            and not quant_cache
+            and config.adapter is None
+            and da.use_write_attention(q, kv["k"], S_cache)
+        ):
+            # the kernel takes the UNWRAPPED position: visibility limit
+            # directly, ring write slot via % S in-kernel
+            y, nk, nv = da.decode_attention_write_pallas(
+                q, k, v, kv["k"], kv["v"], limit
+            )
+            new_kv = {"k": nk, "v": nv}
+            y = y.transpose(0, 2, 1, 3).reshape(B, T, H * hs)
+            out = linear(attn_params["c_proj"], y)
+            if tp_axis is not None:
+                out = jax.lax.psum(out, tp_axis)
+            return out, new_kv
         # single-token decode: the Pallas decode-attention kernel streams the
         # cache once (int8 consumed directly — scales fold into the score and
         # the weighted sum) instead of the XLA dequant + einsum chain

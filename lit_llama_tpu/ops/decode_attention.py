@@ -193,6 +193,191 @@ def decode_attention_pallas(
     return out.reshape(B, H, 1, hs)
 
 
+# ---------------------------------------------------------------------------
+# Batched serving: fused cache-row write + decode attention (VERDICT r2 #2)
+# ---------------------------------------------------------------------------
+
+
+def _pick_bs_serve(S: int) -> int:
+    if S <= 512:
+        return S
+    for bs in (512, 256, 128):
+        if S % bs == 0:
+            return bs
+    raise ValueError(f"S={S}: need S % 128 == 0 past 512")
+
+
+def _write_attn_kernel(
+    pos_ref,  # (B,) SMEM int32 slot positions (= visibility limit)
+    q_ref,  # (1, H, 1, hs) VMEM block for this slot
+    kn_ref,  # (1, H, 1, hs) new key row (post-rope)
+    vn_ref,
+    kc_in,  # (B, H, S, hs) ANY (aliased)
+    vc_in,
+    o_ref,  # (1, H, 1, hs) VMEM out block
+    kc_out,  # aliased cache outputs
+    vc_out,
+    *, H, S, hs, bs, cdtype,
+):
+    b = pl.program_id(0)
+    limit = pos_ref[b]
+    wp = jax.lax.rem(limit, S)  # ring write (see models/llama.py slot_pos path)
+    scale = 1.0 / (hs**0.5)
+    NSB = S // bs
+
+    def body(kbuf, vbuf, m_s, l_s, acc_s, wsems, sems):
+        # 1) this slot's new row lands in its cache BEFORE the streaming read
+        kd = pltpu.make_async_copy(
+            kn_ref.at[0], kc_out.at[b, :, pl.ds(wp, 1), :], wsems.at[0]
+        )
+        vd = pltpu.make_async_copy(
+            vn_ref.at[0], vc_out.at[b, :, pl.ds(wp, 1), :], wsems.at[1]
+        )
+        kd.start()
+        vd.start()
+        kd.wait()
+        vd.wait()
+
+        # 2) online softmax over the slot's rows, double-buffered
+        def dmas(slot, sb):
+            s0 = sb * bs
+            return (
+                pltpu.make_async_copy(
+                    kc_out.at[b, :, pl.ds(s0, bs), :], kbuf.at[slot], sems.at[slot, 0]
+                ),
+                pltpu.make_async_copy(
+                    vc_out.at[b, :, pl.ds(s0, bs), :], vbuf.at[slot], sems.at[slot, 1]
+                ),
+            )
+
+        m_s[:] = jnp.full_like(m_s, NEG_INF)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
+        for d in dmas(0, 0):
+            d.start()
+        q3 = q_ref[0, :, 0, :].astype(cdtype)  # (H, hs)
+        for sb in range(NSB):
+            slot = sb % 2
+            if sb + 1 < NSB:
+                for d in dmas((sb + 1) % 2, sb + 1):
+                    d.start()
+            for d in dmas(slot, sb):
+                d.wait()
+            base = sb * bs
+
+            @pl.when(base <= limit)
+            def _():
+                k3 = kbuf[slot].astype(cdtype)
+                s = jnp.sum(
+                    (k3 * q3[:, None, :]).astype(jnp.float32), axis=-1
+                ) * scale  # (H, bs)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1) + base
+                s = jnp.where(rows <= limit, s, NEG_INF)
+                m_prev = m_s[:]
+                m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.exp(s - m_new)
+                l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                m_s[:] = m_new
+                pv = jnp.sum(
+                    (p.astype(cdtype)[:, :, None] * vbuf[slot].astype(cdtype)).astype(
+                        jnp.float32
+                    ),
+                    axis=1,
+                )
+                acc_s[:] = acc_s[:] * alpha + pv
+
+        o_ref[0, :, 0, :] = (
+            acc_s[:] / jnp.maximum(l_s[:], 1e-30)
+        ).astype(o_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((2, H, bs, hs), cdtype),
+        pltpu.VMEM((2, H, bs, hs), cdtype),
+        pltpu.VMEM((H, 1), jnp.float32),
+        pltpu.VMEM((H, 1), jnp.float32),
+        pltpu.VMEM((H, hs), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_attention_write_pallas(
+    q: jnp.ndarray,  # (B, H, 1, hs)
+    k_new: jnp.ndarray,  # (B, H, 1, hs) post-rope new keys
+    v_new: jnp.ndarray,
+    kc: jnp.ndarray,  # (B, H, S, hs) cache (donated; updated in place)
+    vc: jnp.ndarray,
+    slot_pos: jnp.ndarray,  # (B,) int32 (ring: row slot_pos % S is written)
+    interpret: bool = False,
+):
+    """Fused per-slot cache write + decode attention for continuous batching.
+
+    Returns (y (B, H, 1, hs), new_kc, new_vc). Round 2 measured the separate
+    pieces losing end-to-end: the XLA scatter write forced a cache layout the
+    standalone kernel made XLA copy per layer (~2-5 ms/step at 32 slots,
+    ops/decode_attention.py:199-216 of round 2). Writing the row inside the
+    kernel against the aliased cache removes both the scatter and the copy.
+    """
+    B, H, S, hs = kc.shape
+    bs = _pick_bs_serve(S)
+    kernel = functools.partial(
+        _write_attn_kernel, H=H, S=S, hs=hs, bs=bs, cdtype=kc.dtype
+    )
+    blk = pl.BlockSpec(
+        (1, H, 1, hs), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    y, kc2, vc2 = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[blk, blk, blk, hbm, hbm],
+            out_specs=(blk, hbm, hbm),
+            scratch_shapes=[],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, 1, hs), q.dtype),
+            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+        ),
+        input_output_aliases={4: 1, 5: 2},
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S * hs,
+            bytes_accessed=2 * B * H * S * hs * kc.dtype.itemsize,
+            transcendentals=B * H * S,
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        slot_pos.astype(jnp.int32),
+        q,
+        k_new.astype(kc.dtype),
+        v_new.astype(vc.dtype),
+        kc,
+        vc,
+    )
+    return y, kc2, vc2
+
+
+def use_write_attention(q, kc, S: int) -> bool:
+    """Dispatch for the fused write+attention serving kernel (batched
+    single-token decode, bf16 cache)."""
+    if os.environ.get("LIT_LLAMA_TPU_NO_PALLAS"):
+        return False
+    if os.environ.get("LIT_LLAMA_TPU_SERVE_KERNEL", "1") == "0":
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    B, H, T, hs = q.shape
+    if T != 1 or hs % 128 or kc.dtype != q.dtype:
+        return False
+    return S <= 512 or S % 128 == 0
+
+
 MIN_S = int(os.environ.get("LIT_LLAMA_TPU_DECODE_ATTN_MIN_S", "1024"))
 
 

@@ -163,6 +163,34 @@ def test_engine_dp_times_tp_matches_single_device(setup):
         assert done[rid].generated == ref_greedy(params, cfg, p, 6), rid
 
 
+def test_engine_fused_write_attention_kernel_matches(setup):
+    """The serving decode step routed through the fused cache-write +
+    attention kernel (interpret mode; on TPU it dispatches automatically)
+    produces the same greedy tokens as the XLA scatter + einsum path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from lit_llama_tpu.ops import decode_attention as da
+
+    cfg = LLaMAConfig(block_size=64, vocab_size=97, n_layer=2, n_head=2, n_embd=256)
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(1, 97, size=n).astype(np.int32) for n in (5, 11, 3)]
+
+    expected = [ref_greedy(params, cfg, p, 6) for p in prompts]
+
+    orig = da.use_write_attention
+    da.use_write_attention = lambda q, kc, S: True
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            eng = DecodeEngine(params, cfg, max_batch=2)
+            ids = [eng.submit(p, 6) for p in prompts]
+            done = eng.run()
+    finally:
+        da.use_write_attention = orig
+    for rid, exp in zip(ids, expected):
+        assert done[rid].generated == exp, rid
+
+
 def test_engine_generates_past_cache_length(setup):
     """A request may generate beyond max_seq_length: the slot's cache wraps as
     a ring buffer retaining the same sliding window as the single-stream

@@ -216,3 +216,33 @@ def test_decode_attention_int8_matches_dequant_xla(rng):
         limit, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("positions", [[0, 5, 255], [256 + 7, 3, 511 + 256]])
+def test_decode_attention_write_matches_scatter_plus_xla(rng, positions):
+    """Fused per-slot cache write + attention (serving path) vs the separate
+    scatter + masked einsum: identical updated cache, matching outputs.
+    Positions past S wrap as a ring (row pos % S overwritten)."""
+    from lit_llama_tpu.ops.decode_attention import decode_attention_write_pallas
+
+    B, H, S, hs = len(positions), 4, 256, 128
+    q = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.float32)
+    knew = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.float32)
+    vnew = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(B, H, S, hs)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(B, H, S, hs)), jnp.float32)
+    pos = jnp.asarray(positions, jnp.int32)
+
+    # reference: scatter write then masked attention over the updated cache
+    wp = pos % S
+    kc_ref = kc.at[jnp.arange(B), :, wp].set(knew[:, :, 0])
+    vc_ref = vc.at[jnp.arange(B), :, wp].set(vnew[:, :, 0])
+    mask = (jnp.arange(S)[None, :] <= pos[:, None])[:, None, None, :]
+    y_ref = attention_xla(q, kc_ref, vc_ref, mask)
+
+    y, kc2, vc2 = decode_attention_write_pallas(
+        q, knew, vnew, kc, vc, pos, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(kc2), np.asarray(kc_ref))
+    np.testing.assert_array_equal(np.asarray(vc2), np.asarray(vc_ref))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=3e-5, rtol=3e-5)
