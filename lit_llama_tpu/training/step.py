@@ -43,6 +43,14 @@ class TrainConfig:
     max_iters: int = 600000
     min_lr: float = 6e-5
     decay_lr: bool = True
+    # Storage dtype for the Adam moments (None = float32). "bfloat16" halves
+    # the optimizer-state HBM traffic — the 0.44B bench measured ~15.7 ms of
+    # a step moving 12 GB of fp32 Adam state (TPU-first: the optimizer update
+    # is bandwidth-bound, not compute-bound). The EMA update itself still
+    # runs in float32; only the carried state rounds, and with
+    # (1-beta2) = 0.05 the per-step increments sit ~7 bits above bf16's
+    # rounding floor.
+    adam_state_dtype: Optional[str] = None
 
 
 class TrainState(NamedTuple):
@@ -70,12 +78,58 @@ def cosine_lr(tc: TrainConfig):
     return schedule
 
 
+def scale_by_adam_lowp(
+    b1: float, b2: float, eps: float = 1e-8, state_dtype=jnp.bfloat16
+) -> optax.GradientTransformation:
+    """Adam moments carried in ``state_dtype`` (optax's mu_dtype covers only
+    the first moment). The EMA math runs in float32 each step; the moments
+    round to ``state_dtype`` only when stored."""
+
+    def init(params):
+        zeros = lambda p: jnp.zeros(p.shape, state_dtype)  # noqa: E731
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        f32 = jnp.float32
+        mu32 = jax.tree_util.tree_map(
+            lambda m, g: b1 * m.astype(f32) + (1 - b1) * g.astype(f32),
+            state.mu, updates,
+        )
+        nu32 = jax.tree_util.tree_map(
+            lambda v, g: b2 * v.astype(f32) + (1 - b2) * jnp.square(g.astype(f32)),
+            state.nu, updates,
+        )
+        count = state.count + 1
+        bc1 = 1.0 - b1 ** count.astype(f32)
+        bc2 = 1.0 - b2 ** count.astype(f32)
+        out = jax.tree_util.tree_map(
+            lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu32, nu32
+        )
+        store = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: x.astype(state_dtype), t
+        )
+        return out, optax.ScaleByAdamState(count=count, mu=store(mu32), nu=store(nu32))
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(tc: TrainConfig, trainable_mask=None) -> optax.GradientTransformation:
     """AdamW with global-norm clip; ``trainable_mask`` freezes params for PEFT
     (replaces ``mark_only_lora_as_trainable``, reference: lora.py:329-345)."""
+    if tc.adam_state_dtype:
+        adam = scale_by_adam_lowp(
+            tc.beta1, tc.beta2, state_dtype=jnp.dtype(tc.adam_state_dtype)
+        )
+    else:
+        adam = optax.scale_by_adam(b1=tc.beta1, b2=tc.beta2)
     chain = [
         optax.clip_by_global_norm(tc.grad_clip),
-        optax.scale_by_adam(b1=tc.beta1, b2=tc.beta2),
+        adam,
         optax.add_decayed_weights(
             tc.weight_decay,
             mask=lambda p: jax.tree_util.tree_map(lambda x: x.ndim >= 2, p),

@@ -105,6 +105,7 @@ def main(
     vocab_size: int = None,
     resume: Path = None,
     profile_at_iter: int = -1,
+    adam_state_dtype: str = "",
 ) -> None:
     """Pretrain LLaMA on the RedPajama dataset.
 
@@ -132,6 +133,8 @@ def main(
         vocab_size: Override vocab size.
         resume: Resume from a native checkpoint directory (restores optimizer + step).
         profile_at_iter: Capture a jax.profiler trace at this iteration.
+        adam_state_dtype: '' (float32) or 'bfloat16' — low-precision Adam
+            moments, halving optimizer-state memory and HBM traffic.
     """
     from lit_llama_tpu import LLaMAConfig, llama
     from lit_llama_tpu.parallel import mesh as mesh_lib, sharding
@@ -172,6 +175,7 @@ def main(
         min_lr=min_lr,
         warmup_iters=warmup_iters,
         max_iters=max_iters,
+        adam_state_dtype=adam_state_dtype or None,
     )
     optimizer = step_lib.make_optimizer(tc)
 

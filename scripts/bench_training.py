@@ -29,6 +29,7 @@ def main(
     model_parallel: int = 1,
     remat: bool = True,
     remat_policy: str = "dots",
+    adam_state_dtype: str = "",
     trace_dir: str = "",
 ) -> None:
     """Benchmark the jitted training step.
@@ -47,6 +48,8 @@ def main(
         model_parallel: Mesh model-axis size.
         remat: Activation rematerialization on the scanned block.
         remat_policy: 'dots' (save matmul outputs) or 'full' (recompute all).
+        adam_state_dtype: '' (float32) or 'bfloat16' — halves optimizer-state
+            HBM traffic (the 0.44B step measured ~15.7 ms of Adam state moves).
         trace_dir: If set, capture a jax.profiler trace of the timed iters and
             print the per-op-group device breakdown (guides MFU work).
     """
@@ -79,7 +82,10 @@ def main(
     params = llama.init_params(config, jax.random.PRNGKey(0))
     if n_dev > 1:
         params = sharding.shard_params(params, mesh, fsdp=True, tp=model_parallel > 1)
-    tc = step_lib.TrainConfig(warmup_iters=0, max_iters=10**6, decay_lr=False)
+    tc = step_lib.TrainConfig(
+        warmup_iters=0, max_iters=10**6, decay_lr=False,
+        adam_state_dtype=adam_state_dtype or None,
+    )
     optimizer = step_lib.make_optimizer(tc)
     opt_state = jax.jit(optimizer.init)(params)
     state = step_lib.TrainState(params, opt_state, jnp.int32(0))

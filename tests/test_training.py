@@ -182,3 +182,38 @@ def test_preemption_checkpoint(tmp_path, cfg):
         np.asarray(restored.params["h"]["attn"]["c_attn"]["w"]),
         np.asarray(state.params["h"]["attn"]["c_attn"]["w"]),
     )
+
+
+def test_bf16_adam_state_tracks_fp32(cfg):
+    """adam_state_dtype='bfloat16' halves optimizer-state memory; the training
+    trajectory must track the fp32-state optimizer closely (the EMA math runs
+    in fp32, only the carried moments round)."""
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ids, tgt = make_batch(jax.random.PRNGKey(1), 1, 2, 16, 64)
+
+    def run(dtype):
+        tc = step_lib.TrainConfig(
+            learning_rate=1e-2, warmup_iters=0, max_iters=100,
+            adam_state_dtype=dtype,
+        )
+        opt = step_lib.make_optimizer(tc)
+        state = step_lib.init_train_state(params, opt)
+        losses = []
+        for _ in range(6):
+            state, loss = step_lib.train_step(state, ids, tgt, cfg, opt)
+            losses.append(float(loss))
+        return losses, state
+
+    ref_losses, _ = run(None)
+    lp_losses, lp_state = run("bfloat16")
+    # moments actually stored in bf16
+    adam_states = [
+        s for s in jax.tree_util.tree_leaves(
+            lp_state.opt_state, is_leaf=lambda x: hasattr(x, "mu")
+        ) if hasattr(x := s, "mu")
+    ]
+    assert adam_states, "no ScaleByAdamState found"
+    mu_leaf = jax.tree_util.tree_leaves(adam_states[0].mu)[0]
+    assert mu_leaf.dtype == jnp.bfloat16
+    assert lp_losses[-1] < lp_losses[0]
+    np.testing.assert_allclose(lp_losses, ref_losses, rtol=0.02, atol=0.02)
