@@ -305,12 +305,12 @@ def _causal_self_attention(
     if use_da:
         from lit_llama_tpu.ops.decode_attention import decode_attention_pallas
 
-        if "ks" in new_kv:
-            y = decode_attention_pallas(
-                q, new_kv["k"], new_kv["v"], new_kv["ks"], new_kv["vs"], limit
-            )
-        else:
-            y = decode_attention_pallas(q, new_kv["k"], new_kv["v"], None, None, limit)
+        # bf16 caches only: use_da excludes quant_cache — the kernel's int8
+        # variant exists and is tested (it folds the scales into the score and
+        # weighted sum) but measured VPU-cast-bound, slower end-to-end than
+        # XLA's fused dequant+einsum; re-enable via ops/decode_attention.py if
+        # the widening cost is ever fixed.
+        y = decode_attention_pallas(q, new_kv["k"], new_kv["v"], None, None, limit)
     else:
         if attend_len is not None and kv is not None:
             # prefill-from-zero: only the first attend_len cache slots are live —
