@@ -134,8 +134,13 @@ def _generate_compiled(
                 x, lp, kv_l, cosf, sinf, pos % S, pos, config
             )
             new_layers.append(kv_l)
-        x = rms_norm(x, params["ln_f"])
-        return linear(params["lm_head"], x), tuple(new_layers)
+        if "qzero" in params["lm_head"]:
+            from lit_llama_tpu.ops.fused_layer import lm_head_fused
+
+            logits = lm_head_fused(x, params["ln_f"], params["lm_head"], config)
+        else:
+            logits = linear(params["lm_head"], rms_norm(x, params["ln_f"]))
+        return logits, tuple(new_layers)
 
     def body(state):
         i, buf, cache, key, done = state

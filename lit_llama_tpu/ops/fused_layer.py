@@ -293,7 +293,8 @@ def _layer_kernel(
 
 
 def _pick_bn(N: int, cap: int) -> int:
-    for bn in (cap, 2048, 1024, 512, 256, 128):
+    # non-power candidates cover the unpadded 32000 vocab (1280 x 25)
+    for bn in (cap, 2048, 1280, 1024, 640, 512, 256, 128):
         if bn <= cap and N % bn == 0:
             return bn
     raise ValueError(f"N={N} has no 128-multiple block divisor <= {cap}")
@@ -413,6 +414,49 @@ def decode_layer_fused(
 # ---------------------------------------------------------------------------
 # Parameter preparation (host-side, once at load)
 # ---------------------------------------------------------------------------
+
+
+def _head_kernel(x_ref, lnw_ref, qw, qs, qz, o_ref, xs, logits, *, D, V, gs, bn,
+                 cdtype):
+    """ln_f + int4 lm_head matvec in one launch (the last of the 33)."""
+    xs[:] = jnp.zeros_like(xs)
+    xs[0:1, :] = x_ref[:].astype(jnp.float32)
+    xs[:] = _rms_norm_rows(xs[:], lnw_ref)
+    _mv_int4(xs, logits, qw, qs, qz, K=D, N=V, gs=gs, bn=bn, cdtype=cdtype)
+    o_ref[:] = logits[0:1, :].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("D", "V", "gs", "cdtype", "interpret"))
+def _call_head(x, lnw, qw, qs, qz, *, D, V, gs, cdtype, interpret=False):
+    bn = _pick_bn(V, 2048)
+    kernel = functools.partial(
+        _head_kernel, D=D, V=V, gs=gs, bn=bn, cdtype=jnp.dtype(cdtype)
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, V), x.dtype),
+        in_specs=[vmem, vmem, hbm, hbm, hbm],
+        out_specs=vmem,
+        scratch_shapes=[
+            pltpu.VMEM((8, D), jnp.float32),
+            pltpu.VMEM((8, V), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * D * V, bytes_accessed=D * V // 2, transcendentals=0
+        ),
+        interpret=interpret,
+    )(x, lnw.reshape(1, D), qw, qs, qz)
+
+
+def lm_head_fused(x, ln_w, head: Params, config, interpret: bool = False):
+    """Fused final-norm + lm_head logits for one decode token: (1, D)->(1, V)."""
+    return _call_head(
+        x, ln_w, head["qw"], head["qscale"], head["qzero"],
+        D=config.n_embd, V=head["qw"].shape[-1], gs=config.quant_groupsize,
+        cdtype=jnp.dtype(config.compute_dtype).name, interpret=interpret,
+    )
 
 
 def half_basis_perm(hs: int) -> jnp.ndarray:
