@@ -1,0 +1,153 @@
+"""On-chip smoke for the fused decode kernels (Mosaic legality + numerics).
+
+Interpret mode (tests/test_fused_layer.py) validates semantics on CPU but not
+Mosaic lowering (unsupported casts, VMEM overruns, DMA shapes). This runs the
+same parities on the real chip at a tiny 7B-like geometry (hs=128) so failures
+surface with ~1-minute compiles instead of inside the 7B bench.
+
+Usage: python scripts/smoke_fused_tpu.py  (on TPU; no flags)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent.resolve()))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from lit_llama_tpu import LLaMAConfig, init_params
+    from lit_llama_tpu.models import llama
+    from lit_llama_tpu.ops import fused_layer
+    from lit_llama_tpu.ops.attention import attention_xla
+    from lit_llama_tpu.ops.decode_attention import decode_attention_write_pallas
+    from lit_llama_tpu.ops.rope import build_rope_cache, rope_half_row
+    from lit_llama_tpu.utils.cli import enable_compilation_cache
+
+    enable_compilation_cache()
+    print(f"backend={jax.default_backend()}", file=sys.stderr)
+    failures = 0
+
+    cfg = LLaMAConfig(
+        block_size=256, vocab_size=256, n_layer=2, n_head=4, n_embd=512,
+        quantize="int4", quant_groupsize=128,
+        param_dtype="bfloat16", compute_dtype="bfloat16",
+    )
+    dense = init_params(cfg.replace(quantize=None), jax.random.PRNGKey(0))
+    qparams = llama.unstack_layers(llama.quantize_params(dense, cfg))
+    fparams, fcfg = fused_layer.prepare_fused_params(qparams, cfg)
+    D, H, hs, S = cfg.n_embd, cfg.n_head, cfg.head_size, 128
+    rng = np.random.default_rng(0)
+
+    # --- whole-layer kernel vs XLA block -----------------------------------
+    kv = {
+        "k": jnp.asarray(rng.normal(size=(1, H, S, hs)) * 0.3, jnp.bfloat16),
+        "v": jnp.asarray(rng.normal(size=(1, H, S, hs)) * 0.3, jnp.bfloat16),
+    }
+    x = jnp.asarray(rng.normal(size=(1, D)) * 0.5, jnp.bfloat16)
+    lp = fparams["h"][0]
+    pos = jnp.int32(37)
+    rope_cache = build_rope_cache(fcfg.block_size, hs)
+
+    rope = jnp.take(rope_cache, pos[None], axis=0)[:, None]
+    mask = (jnp.arange(S) <= pos)[None, None, None, :]
+    t0 = time.time()
+    ref_out, ref_kv = llama._block(lp, x[None], rope, mask, fcfg, kv, pos % S, False)
+    cosf, sinf = rope_half_row(rope_cache, pos, hs)
+    try:
+        got_out, got_kv = fused_layer.decode_layer_fused(
+            x, lp, kv, cosf, sinf, pos % S, pos, fcfg
+        )
+        err = float(
+            jnp.max(jnp.abs(got_out.astype(jnp.float32) - ref_out[0].astype(jnp.float32)))
+        )
+        kerr = float(
+            jnp.max(jnp.abs(got_kv["k"].astype(jnp.float32) - ref_kv["k"].astype(jnp.float32)))
+        )
+        ok = err < 0.15 and kerr < 0.02
+        failures += not ok
+        print(f"decode_layer_fused: {'OK' if ok else 'FAIL'} "
+              f"(|dout|={err:.4f} |dk|={kerr:.4f}, {time.time()-t0:.0f}s)")
+    except Exception as e:  # noqa: BLE001
+        failures += 1
+        print(f"decode_layer_fused: EXCEPTION {type(e).__name__}: {str(e)[:400]}")
+
+    # --- lm_head fusion ------------------------------------------------------
+    try:
+        from lit_llama_tpu.ops.linear import linear
+        from lit_llama_tpu.ops.norm import rms_norm
+
+        ref_logits = linear(fparams["lm_head"], rms_norm(x, fparams["ln_f"]))
+        got_logits = fused_layer.lm_head_fused(x, fparams["ln_f"], fparams["lm_head"], fcfg)
+        err = float(jnp.max(jnp.abs(
+            got_logits.astype(jnp.float32) - ref_logits.astype(jnp.float32)
+        )))
+        ok = err < 0.1
+        failures += not ok
+        print(f"lm_head_fused: {'OK' if ok else 'FAIL'} (|d|={err:.4f})")
+    except Exception as e:  # noqa: BLE001
+        failures += 1
+        print(f"lm_head_fused: EXCEPTION {type(e).__name__}: {str(e)[:400]}")
+
+    # --- fused write+attention (serving) ------------------------------------
+    try:
+        B = 3
+        q = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.bfloat16)
+        kn = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.bfloat16)
+        vn = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.bfloat16)
+        kc = jnp.asarray(rng.normal(size=(B, H, S, hs)), jnp.bfloat16)
+        vc = jnp.asarray(rng.normal(size=(B, H, S, hs)), jnp.bfloat16)
+        posv = jnp.asarray([0, 64, S + 7], jnp.int32)
+        wp = posv % S
+        kc_ref = kc.at[jnp.arange(B), :, wp].set(kn[:, :, 0])
+        vc_ref = vc.at[jnp.arange(B), :, wp].set(vn[:, :, 0])
+        maskv = (jnp.arange(S)[None, :] <= posv[:, None])[:, None, None, :]
+        y_ref = attention_xla(q, kc_ref, vc_ref, maskv)
+        y, kc2, vc2 = decode_attention_write_pallas(q, kn, vn, kc, vc, posv)
+        err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - y_ref.astype(jnp.float32))))
+        cerr = float(jnp.max(jnp.abs(kc2.astype(jnp.float32) - kc_ref.astype(jnp.float32))))
+        ok = err < 0.05 and cerr == 0.0
+        failures += not ok
+        print(f"decode_attention_write: {'OK' if ok else 'FAIL'} "
+              f"(|dy|={err:.4f} |dcache|={cerr})")
+    except Exception as e:  # noqa: BLE001
+        failures += 1
+        print(f"decode_attention_write: EXCEPTION {type(e).__name__}: {str(e)[:400]}")
+
+    # --- end-to-end tiny fused generate --------------------------------------
+    try:
+        from lit_llama_tpu.models import generate as gen
+
+        prompt = np.asarray([5, 23, 81, 2, 40], np.int32)
+        ref = gen.generate(qparams, prompt, 12, config=cfg, max_seq_length=32,
+                           temperature=0.0)
+        got = gen.generate(fparams, prompt, 12, config=fcfg, max_seq_length=32,
+                           temperature=0.0)
+        # bf16: the fused path carries the residual stream in f32 (the XLA
+        # path rounds to bf16 at each add), so a greedy near-tie can flip a
+        # late token; require a long exact prefix rather than full equality
+        # (the f32-compute parity test in tests/test_fused_layer.py is exact)
+        prefix = 0
+        for a, b in zip(got.tolist(), ref.tolist()):
+            if a != b:
+                break
+            prefix += 1
+        ok = prefix >= len(prompt) + 8
+        failures += not ok
+        print(f"fused generate: {'OK' if ok else 'FAIL'} (exact prefix {prefix}/{len(ref)})")
+    except Exception as e:  # noqa: BLE001
+        failures += 1
+        print(f"fused generate: EXCEPTION {type(e).__name__}: {str(e)[:400]}")
+
+    print(f"{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
