@@ -198,8 +198,9 @@ def generate(
     T_new = T + max_new_tokens
     if max_seq_length is None:
         max_seq_length = min(T_new, config.block_size)
-    if config.rope_layout == "half" and max_seq_length > 512:
-        # fused decode kernel streams the cache in 128-row blocks past 512
+    if config.rope_layout == "half" and max_seq_length > 128:
+        # fused decode kernel streams the cache in 128-row blocks once it no
+        # longer fits a single VMEM buffer; a 128-multiple S always tiles
         max_seq_length = min(-(-max_seq_length // 128) * 128, config.block_size)
     if key is None:
         key = jax.random.PRNGKey(0)

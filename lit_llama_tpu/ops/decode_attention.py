@@ -198,13 +198,16 @@ def decode_attention_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _pick_bs_serve(S: int) -> int:
-    if S <= 512:
+def _pick_bs_serve(S: int, H: int, hs: int, itemsize: int) -> int:
+    """k and v stream double-buffered: 4 live (H, bs, hs) buffers must fit in
+    ~8 MB of VMEM (7B H=32 bf16: bs <= 256)."""
+    cap = max(128, (8 * 1024 * 1024) // (4 * H * hs * itemsize))
+    if S <= cap:
         return S
     for bs in (512, 256, 128):
-        if S % bs == 0:
+        if bs <= cap and S % bs == 0:
             return bs
-    raise ValueError(f"S={S}: need S % 128 == 0 past 512")
+    raise ValueError(f"S={S}: need S % 128 == 0 past {cap}")
 
 
 def _write_attn_kernel(
@@ -322,7 +325,7 @@ def decode_attention_write_pallas(
     kernel against the aliased cache removes both the scatter and the copy.
     """
     B, H, S, hs = kc.shape
-    bs = _pick_bs_serve(S)
+    bs = _pick_bs_serve(S, H, hs, kc.dtype.itemsize)
     kernel = functools.partial(
         _write_attn_kernel, H=H, S=S, hs=hs, bs=bs, cdtype=kc.dtype
     )

@@ -300,13 +300,17 @@ def _pick_bn(N: int, cap: int) -> int:
     raise ValueError(f"N={N} has no 128-multiple block divisor <= {cap}")
 
 
-def _pick_bs(S: int) -> int:
-    if S <= 512:
+def _pick_bs(S: int, H: int, hs: int, itemsize: int) -> int:
+    """Cache-streaming block: k and v are double-buffered (4 live (H, bs, hs)
+    buffers), which must stay within ~8 MB of VMEM next to the persistent
+    work vectors (7B H=32: bs <= 256)."""
+    cap = max(128, (8 * 1024 * 1024) // (4 * H * hs * itemsize))
+    if S <= cap:
         return S
     for bs in (512, 256, 128):
-        if S % bs == 0:
+        if bs <= cap and S % bs == 0:
             return bs
-    raise ValueError(f"S={S} not tileable (need S % 128 == 0 for S > 512)")
+    raise ValueError(f"S={S} not tileable (need S % 128 == 0 for S > {cap})")
 
 
 @functools.partial(
@@ -321,7 +325,7 @@ def _call_layer(
     bn_cp = _pick_bn(D, 2048)
     bn_f12 = _pick_bn(2 * I, 2048)
     bn_mp = _pick_bn(D, 2048)
-    bs = _pick_bs(S)
+    bs = _pick_bs(S, H, hs, kc.dtype.itemsize)
     kernel = functools.partial(
         _layer_kernel, D=D, I=I, H=H, S=S, hs=hs, gs=gs,
         bn_ca=bn_ca, bn_cp=bn_cp, bn_f12=bn_f12, bn_mp=bn_mp, bs=bs,
