@@ -292,9 +292,12 @@ def _layer_kernel(
     xo_ref[:] = xs[0:1, :].astype(xo_ref.dtype)
 
 
-def _pick_bn(N: int, cap: int) -> int:
-    # non-power candidates cover the unpadded 32000 vocab (1280 x 25)
-    for bn in (cap, 2048, 1280, 1024, 640, 512, 256, 128):
+def _pick_bn(N: int, K: int) -> int:
+    """Widest 128-multiple divisor of N whose double-buffered packed weight
+    block (2 x K/2 x bn bytes) stays within ~4 MB of VMEM next to the
+    persistent work vectors (non-power candidates cover the 32000 vocab)."""
+    cap = max(128, (4 * 1024 * 1024) // K)
+    for bn in (2048, 1280, 1024, 640, 512, 256, 128):
         if bn <= cap and N % bn == 0:
             return bn
     raise ValueError(f"N={N} has no 128-multiple block divisor <= {cap}")
@@ -321,10 +324,10 @@ def _call_layer(
     wp, limit, x, rms1, rms2, cosf, sinf, weights, kc, vc,
     *, D, I, H, S, hs, gs, cdtype, interpret=False,
 ):
-    bn_ca = _pick_bn(3 * D, 2048)
-    bn_cp = _pick_bn(D, 2048)
-    bn_f12 = _pick_bn(2 * I, 2048)
-    bn_mp = _pick_bn(D, 2048)
+    bn_ca = _pick_bn(3 * D, D)
+    bn_cp = _pick_bn(D, D)
+    bn_f12 = _pick_bn(2 * I, D)
+    bn_mp = _pick_bn(D, I)
     bs = _pick_bs(S, H, hs, kc.dtype.itemsize)
     kernel = functools.partial(
         _layer_kernel, D=D, I=I, H=H, S=S, hs=hs, gs=gs,
@@ -432,7 +435,7 @@ def _head_kernel(x_ref, lnw_ref, qw, qs, qz, o_ref, xs, logits, *, D, V, gs, bn,
 
 @functools.partial(jax.jit, static_argnames=("D", "V", "gs", "cdtype", "interpret"))
 def _call_head(x, lnw, qw, qs, qz, *, D, V, gs, cdtype, interpret=False):
-    bn = _pick_bn(V, 2048)
+    bn = _pick_bn(V, D)
     kernel = functools.partial(
         _head_kernel, D=D, V=V, gs=gs, bn=bn, cdtype=jnp.dtype(cdtype)
     )
