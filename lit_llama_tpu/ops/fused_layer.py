@@ -75,7 +75,12 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
     Kh = K // 2
     NB = N // bn
 
-    # group sums of src for the factored zero-point term (f32, exact)
+    # group sums of src for the factored zero-point term (f32, exact).
+    # NOTE the lane-split reshape (8, K) -> (8, G, gs) is the one op here
+    # outside the proven-on-chip Mosaic subset (gs = 128-multiple keeps it in
+    # the supported (.., a*128) -> (.., a, 128) class); if it ever fails to
+    # lower, fall back to per-group (8, 1) sums stored into a (8, G_pad)
+    # scratch — slice stores are legal where scalar stores are not.
     gx = jnp.sum(src_ref[:].reshape(sublanes, G, gs), axis=2)  # (8, G)
     gx_lo, gx_hi = gx[:, :Gh], gx[:, Gh:]
 
