@@ -60,6 +60,36 @@ def _decode_steps(params, config, rope_cache, tok, pos0, cache, key, n_steps):
     return jax.lax.fori_loop(0, n_steps, body, (tok, cache, key))
 
 
+def _decode_steps_fused(params, config, rope_cache, tok, pos0, cache, key, n_steps):
+    """The whole-layer fused kernel path (ops/fused_layer.py): one launch per
+    block + fused lm_head (33 launches/step at 7B) — params must be prepared
+    (half-rotation basis)."""
+    from lit_llama_tpu.ops.fused_layer import decode_layer_fused, lm_head_fused
+    from lit_llama_tpu.ops.rope import rope_half_row
+
+    S = cache[0]["k"].shape[-2]
+
+    def body(i, carry):
+        tok, cache, key = carry
+        pos = pos0 + i
+        cosf, sinf = rope_half_row(
+            rope_cache, jnp.clip(pos, 0, config.block_size - 1), config.head_size
+        )
+        x = jnp.take(params["wte"], tok, axis=0).astype(
+            jnp.dtype(config.compute_dtype)
+        )
+        new_layers = []
+        for lp, kv_l in zip(params["h"], cache):
+            x, kv_l = decode_layer_fused(x, lp, kv_l, cosf, sinf, pos % S, pos, config)
+            new_layers.append(kv_l)
+        logits = lm_head_fused(x, params["ln_f"], params["lm_head"], config)
+        key, sub = jax.random.split(key)
+        nxt = gen.sample_logits(logits[0].astype(jnp.float32), sub, 0.8, 200)
+        return nxt[None], tuple(new_layers), key
+
+    return jax.lax.fori_loop(0, n_steps, body, (tok, cache, key))
+
+
 def _decode_steps_batched(params, config, rope_cache, toks, pos0, cache, key, n_steps):
     """Continuous-batching shape: B independent slots decoding via ``slot_pos``
     with per-slot sampling — the engine's step (serve/engine.py) without the
@@ -123,6 +153,7 @@ def aggregate_trace(trace_dir: Path) -> dict:
 
 
 GROUPS = (
+    ("fused layer kernel", ("layer_kernel", "head_kernel", "write_attn")),
     ("int4 matmul kernel", ("matmul_int4", "int4_kernel")),
     ("int8 matmul kernel", ("matmul_int8", "int8_kernel")),
     ("fusion", ("fusion",)),
@@ -142,6 +173,7 @@ def run(
     kv_cache_dtype: str = "bfloat16",
     batch: int = 1,
     stacked_cache: bool = False,
+    fused: bool = False,
 ) -> None:
     """Profile ``steps`` chained decode steps of ``model_size`` int4 on the chip.
 
@@ -151,6 +183,7 @@ def run(
             sampling) to locate the sub-linear batch-scaling cost.
         stacked_cache: keep the (L, ...) stacked KV cache (two full-cache
             copies per step) instead of the per-layer tuple layout, for A/B.
+        fused: profile the whole-layer fused kernel path (batch 1 only).
     """
     enable_compilation_cache()
     sys.path.insert(0, str(wd))
@@ -179,7 +212,16 @@ def run(
     cache = llama.init_kv_cache(config, batch, max_seq_length)
     if not stacked_cache:
         cache = llama.unstack_kv_cache(cache)
-    if batch > 1:
+    if fused:
+        assert batch == 1, "fused path profiles the single-stream step"
+        assert config.kv_cache_dtype in (None, "bfloat16"), "fused: bf16 cache only"
+        assert config.head_size == 128, "fused path requires head_size 128 (TPU run)"
+        from lit_llama_tpu.ops.fused_layer import prepare_fused_params
+
+        params, config = prepare_fused_params(params, config)
+        run_steps = jax.jit(_decode_steps_fused, static_argnums=(1, 7))
+        tok = jnp.array([5], jnp.int32)
+    elif batch > 1:
         run_steps = jax.jit(_decode_steps_batched, static_argnums=(1, 7))
         tok = jnp.full((batch,), 5, jnp.int32)
     else:
