@@ -63,6 +63,42 @@ def _xla_block_step(lp, x, pos, kv, cfg, S):
     return out[0], new_kv
 
 
+def test_decode_layer_fused_odd_half_group_count():
+    """Geometry with an ODD per-plane group count (like 7B's mlp.c_proj, 43):
+    exercises the non-8-aligned scale-plane slicing."""
+    cfg = LLaMAConfig(
+        block_size=64, vocab_size=64, n_layer=1, n_head=6, n_embd=768,
+        quantize="int4", quant_groupsize=128,
+    )
+    assert (cfg.n_embd // cfg.quant_groupsize) // 2 % 2 == 1  # Gh = 3
+    dense = init_params(cfg.replace(quantize=None), jax.random.PRNGKey(2))
+    qparams = llama.unstack_layers(llama.quantize_params(dense, cfg))
+    assert fused_layer.fused_layer_supported(cfg, qparams)
+    fparams, fcfg = fused_layer.prepare_fused_params(qparams, cfg)
+    D, H, hs, S = cfg.n_embd, cfg.n_head, cfg.head_size, 32
+    rng = np.random.default_rng(5)
+    kv = {
+        "k": jnp.asarray(rng.normal(size=(1, H, S, hs)) * 0.3, jnp.float32),
+        "v": jnp.asarray(rng.normal(size=(1, H, S, hs)) * 0.3, jnp.float32),
+    }
+    x = jnp.asarray(rng.normal(size=(1, D)) * 0.5, jnp.float32)
+    lp = fparams["h"][0]
+    pos = jnp.int32(9)
+    ref_out, ref_kv = _xla_block_step(lp, x, pos, kv, fcfg, S)
+    rope_cache = build_rope_cache(fcfg.block_size, hs)
+    cosf, sinf = rope_half_row(rope_cache, pos, hs)
+    with pltpu.force_tpu_interpret_mode():
+        got_out, got_kv = fused_layer.decode_layer_fused(
+            x, lp, kv, cosf, sinf, pos % S, pos, fcfg
+        )
+    np.testing.assert_allclose(
+        np.asarray(got_kv["k"]), np.asarray(ref_kv["k"]), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_out), np.asarray(ref_out), rtol=2e-3, atol=2e-3
+    )
+
+
 @pytest.mark.parametrize("pos", [0, 37, 127, 256 + 3])
 def test_decode_layer_fused_matches_xla(prepared, pos):
     cfg, _, fparams, fcfg = prepared
