@@ -122,6 +122,7 @@ def train(
     validate_fn: Optional[Callable[[step_lib.TrainState], float]] = None,
     log_fn: Optional[Callable[[Dict], None]] = None,
     remat: bool = True,
+    remat_policy: str = "dots",
 ) -> step_lib.TrainState:
     out_dir = Path(loop.out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -168,7 +169,8 @@ def train(
         if it == loop.profile_at_iter:
             jax.profiler.start_trace(str(out_dir / "profile"))
         state, loss = step_lib.train_step(
-            state, jnp.asarray(ids), jnp.asarray(tgt), config, optimizer, remat
+            state, jnp.asarray(ids), jnp.asarray(tgt), config, optimizer, remat,
+            remat_policy,
         )
         if it == loop.profile_at_iter:
             jax.block_until_ready(loss)

@@ -106,6 +106,7 @@ def main(
     resume: Path = None,
     profile_at_iter: int = -1,
     adam_state_dtype: str = "",
+    remat_policy: str = "dots",
 ) -> None:
     """Pretrain LLaMA on the RedPajama dataset.
 
@@ -135,6 +136,8 @@ def main(
         profile_at_iter: Capture a jax.profiler trace at this iteration.
         adam_state_dtype: '' (float32) or 'bfloat16' — low-precision Adam
             moments, halving optimizer-state memory and HBM traffic.
+        remat_policy: 'dots' (save matmul outputs) or 'full' (recompute all;
+            fits larger micro-batches).
     """
     from lit_llama_tpu import LLaMAConfig, llama
     from lit_llama_tpu.parallel import mesh as mesh_lib, sharding
@@ -211,7 +214,8 @@ def main(
     )
     with mesh:
         state = loop_lib.train(
-            state, train_gen(), config, optimizer, lc, validate_fn=validate_fn
+            state, train_gen(), config, optimizer, lc, validate_fn=validate_fn,
+            remat_policy=remat_policy,
         )
         loop_lib.save_train_checkpoint(Path(out_dir), "final", state, config)
 

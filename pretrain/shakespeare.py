@@ -37,6 +37,7 @@ def main(
     n_embd: int = None,
     n_head: int = None,
     resume: Path = None,
+    remat_policy: str = "dots",
 ) -> None:
     """Pretrain a LLaMA model on tiny-shakespeare.
 
@@ -59,6 +60,8 @@ def main(
         n_embd: Override width.
         n_head: Override head count.
         resume: Resume from a native checkpoint directory (restores optimizer + step).
+        remat_policy: 'dots' (save matmul outputs) or 'full' (recompute all;
+            fits larger micro-batches — the 0.44B config needs it).
     """
     from lit_llama_tpu import LLaMAConfig, llama
     from lit_llama_tpu.parallel import mesh as mesh_lib, sharding
@@ -132,6 +135,7 @@ def main(
             optimizer,
             lc,
             validate_fn=loop_lib.validate_on(lambda: batches(val_data), config, eval_iters),
+            remat_policy=remat_policy,
         )
         loop_lib.save_train_checkpoint(Path(out_dir), "final", state, config)
 
