@@ -333,6 +333,60 @@ def _causal_self_attention(
     return out, new_kv
 
 
+def _slot_rope_tables(rope: jnp.ndarray, config: LLaMAConfig):
+    """Per-slot lane tables for the batched fused block-head kernel: expand
+    (B, 1, hs/2, 2) gathered rope rows to (B, 3D) cos/sin vectors over the
+    fused-QKV lanes — half-basis cos repeated per head over q and k sections,
+    identity (cos=1, sin=0) over v."""
+    B = rope.shape[0]
+    cos = rope[:, 0, :, 0].astype(jnp.float32)  # (B, hs/2)
+    sin = rope[:, 0, :, 1].astype(jnp.float32)
+    cos_h = jnp.concatenate([cos, cos], axis=-1)  # (B, hs)
+    sin_h = jnp.concatenate([-sin, sin], axis=-1)  # signed (see rope_half_row)
+    H = config.n_head
+    cosD = jnp.tile(cos_h, (1, H))
+    sinD = jnp.tile(sin_h, (1, H))
+    cos3 = jnp.concatenate([cosD, cosD, jnp.ones_like(cosD)], axis=-1)
+    sin3 = jnp.concatenate([sinD, sinD, jnp.zeros_like(sinD)], axis=-1)
+    return cos3, sin3
+
+
+def _block_slot_fused(
+    lp: Params,
+    x2d: jnp.ndarray,  # (B, D)
+    cos3: jnp.ndarray,
+    sin3: jnp.ndarray,
+    config: LLaMAConfig,
+    kv: KVCache,
+    limit: jnp.ndarray,  # (B,) slot positions (ring write at % S in-kernel)
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Batched (serving) decode block as 3 kernel launches: block-head
+    (rms_1 + QKV + rope), fused cache-write + attention, block-tail
+    (c_proj + residual + rms_2 + SwiGLU + residual). See ops/fused_layer.py."""
+    from lit_llama_tpu.ops import decode_attention as da
+    from lit_llama_tpu.ops import fused_layer as fl
+
+    B, D = x2d.shape
+    H, hs = config.n_head, config.head_size
+    cdtype = jnp.dtype(config.compute_dtype).name
+    qkv = fl.block_head_fused(
+        x2d, lp["rms_1"], cos3, sin3, lp["attn"]["c_attn"],
+        B=B, D=D, gs=config.quant_groupsize, cdtype=cdtype,
+    )
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q4 = q.reshape(B, H, 1, hs)
+    k4 = k.reshape(B, H, 1, hs)
+    v4 = v.reshape(B, H, 1, hs)
+    y, nk, nv = da.decode_attention_write_pallas(q4, k4, v4, kv["k"], kv["v"], limit)
+    x2d = fl.block_tail_fused(
+        x2d, y.reshape(B, D), lp["rms_2"], lp["attn"]["c_proj"],
+        lp["mlp"]["c_fc12"], lp["mlp"]["c_proj"],
+        B=B, D=D, I=config.intermediate_size, gs=config.quant_groupsize,
+        cdtype=cdtype,
+    )
+    return x2d, {"k": nk, "v": nv}
+
+
 def _mlp(
     mlp_params: Params, x: jnp.ndarray, tp_axis: Optional[str] = None
 ) -> jnp.ndarray:
@@ -513,14 +567,43 @@ def forward(
             # per-step slice of a stacked cache and NO re-stack — the stacked
             # layout cost two full cache copies per decode step (~134 MB at
             # 7B/S=128, growing linearly with S).
-            new_layers = []
-            for lp, kv_l in zip(layer_params, kv_cache):
-                x, new_kv_l = _block(
-                    lp, x, rope, mask, config, kv_l, write_pos, causal, tp_axis,
-                    attend_len, limit,
+            serve_fused = False
+            if (
+                slot_pos is not None
+                and tp_axis is None
+                and config.adapter is None
+                and "ks" not in kv_entry
+            ):
+                from lit_llama_tpu.ops import decode_attention as da
+                from lit_llama_tpu.ops import fused_layer as fl
+
+                S_c = kv_entry["k"].shape[-2]
+                serve_fused = (
+                    fl.use_serve_fused(config, layer_params[0])
+                    and kv_entry["k"].dtype == compute_dtype
+                    and (S_c <= 512 or S_c % 128 == 0)
                 )
-                new_layers.append(new_kv_l)
-            new_cache = tuple(new_layers)
+            if serve_fused:
+                # batched fused decode: 3 launches per block, no XLA glue
+                cos3, sin3 = _slot_rope_tables(rope, config)
+                x2d = x[:, 0, :]
+                new_layers = []
+                for lp, kv_l in zip(layer_params, kv_cache):
+                    x2d, new_kv_l = _block_slot_fused(
+                        lp, x2d, cos3, sin3, config, kv_l, limit
+                    )
+                    new_layers.append(new_kv_l)
+                x = x2d[:, None, :]
+                new_cache = tuple(new_layers)
+            else:
+                new_layers = []
+                for lp, kv_l in zip(layer_params, kv_cache):
+                    x, new_kv_l = _block(
+                        lp, x, rope, mask, config, kv_l, write_pos, causal,
+                        tp_axis, attend_len, limit,
+                    )
+                    new_layers.append(new_kv_l)
+                new_cache = tuple(new_layers)
         else:
             acc = None
             for l, lp in enumerate(layer_params):

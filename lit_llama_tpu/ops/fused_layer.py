@@ -471,6 +471,159 @@ def lm_head_fused(x, ln_w, head: Params, config, interpret: bool = False):
     )
 
 
+# ---------------------------------------------------------------------------
+# Batched (serving) block-half kernels: the slot_pos decode step at B slots.
+# The per-slot attention + cache write lives in its own kernel
+# (ops/decode_attention.decode_attention_write_pallas); these two fuse
+# everything around it, so a batched block is 3 launches instead of 5 + the
+# XLA norm/rope/silu/residual fusions between them.
+# ---------------------------------------------------------------------------
+
+
+def _rot_half_lanes(x, cos3, sin3, head_mask):
+    """Vectorized half-rotation across concatenated head lanes: for lane l,
+    the partner is l+64 within its own 128-lane head block — select between a
+    left and a right roll by 64 on the lane-position mask (no reshapes)."""
+    left = pltpu.roll(x, 64, axis=1)  # x[(l + 64) mod N]
+    right = pltpu.roll(x, x.shape[1] - 64, axis=1)  # x[(l - 64) mod N]
+    return x * cos3 + jnp.where(head_mask, left, right) * sin3
+
+
+def _block_head_kernel(
+    x_ref, rms1_ref, cos3_ref, sin3_ref, qw, qs, qz, o_ref, xs, qkv,
+    *, B, D, gs, bn, cdtype,
+):
+    """rms_1 + int4 QKV matvec + RoPE (half basis) for B slots: (B, D) ->
+    rotated fused-QKV (B, 3D). cos3/sin3 are per-slot lane tables over the
+    full 3D width (ones/zeros on the v section)."""
+    xs[:] = _rms_norm_rows(x_ref[:].astype(jnp.float32), rms1_ref)
+    _mv_int4(xs, qkv, qw, qs, qz, K=D, N=3 * D, gs=gs, bn=bn, cdtype=cdtype,
+             sublanes=xs.shape[0])
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * D), 1)
+    head_mask = (lanes % 128) < 64
+    rot = _rot_half_lanes(qkv[:], cos3_ref[:], sin3_ref[:], head_mask)
+    o_ref[:] = rot[:B].astype(o_ref.dtype)
+
+
+def _block_tail_kernel(
+    x_ref, y_ref, rms2_ref, cp_qw, cp_qs, cp_qz, f12_qw, f12_qs, f12_qz,
+    mp_qw, mp_qs, mp_qz, o_ref, xs, h, fg, gg,
+    *, B, D, I, gs, bn_cp, bn_f12, bn_mp, cdtype,
+):
+    """Everything after attention for B slots: x + c_proj(y), rms_2, SwiGLU,
+    + mlp projection — one launch."""
+    xs[:] = x_ref[:].astype(jnp.float32)
+    h[:] = y_ref[:].astype(jnp.float32)
+    _mv_int4(h, xs, cp_qw, cp_qs, cp_qz, K=D, N=D, gs=gs, bn=bn_cp,
+             cdtype=cdtype, residual_ref=xs, sublanes=xs.shape[0])
+    h[:] = _rms_norm_rows(xs[:], rms2_ref)
+    _mv_int4(h, fg, f12_qw, f12_qs, f12_qz, K=D, N=2 * I, gs=gs, bn=bn_f12,
+             cdtype=cdtype, sublanes=xs.shape[0])
+    gg[:] = jax.nn.silu(fg[:, :I]) * fg[:, I:]
+    _mv_int4(gg, xs, mp_qw, mp_qs, mp_qz, K=I, N=D, gs=gs, bn=bn_mp,
+             cdtype=cdtype, residual_ref=xs, sublanes=xs.shape[0])
+    o_ref[:] = xs[:B].astype(o_ref.dtype)
+
+
+def _round8(b: int) -> int:
+    return max(8, -(-b // 8) * 8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B", "D", "gs", "cdtype", "interpret")
+)
+def block_head_fused(x, rms1, cos3, sin3, ca, *, B, D, gs, cdtype,
+                     interpret=False):
+    """x (B, D) -> rotated qkv (B, 3D). ``cos3``/``sin3`` (B, 3D) f32 lane
+    tables (see models/llama.py `_slot_rope_tables`)."""
+    Bp = _round8(B)
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0)))
+        cos3 = jnp.pad(cos3, ((0, Bp - B), (0, 0)))
+        sin3 = jnp.pad(sin3, ((0, Bp - B), (0, 0)))
+    kernel = functools.partial(
+        _block_head_kernel, B=B, D=D, gs=gs, bn=_pick_bn(3 * D, D),
+        cdtype=jnp.dtype(cdtype),
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, 3 * D), jnp.dtype(cdtype)),
+        in_specs=[vmem, vmem, vmem, vmem, hbm, hbm, hbm],
+        out_specs=vmem,
+        scratch_shapes=[
+            pltpu.VMEM((Bp, D), jnp.float32),
+            pltpu.VMEM((Bp, 3 * D), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * D * 3 * D, bytes_accessed=3 * D * D // 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, rms1.reshape(1, D), cos3, sin3, ca["qw"], ca["qscale"], ca["qzero"])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("B", "D", "I", "gs", "cdtype", "interpret")
+)
+def block_tail_fused(x, y, rms2, cp, f12, mp, *, B, D, I, gs, cdtype,
+                     interpret=False):
+    """(x residual stream, y attention output), both (B, D) -> new x (B, D)."""
+    Bp = _round8(B)
+    if Bp != B:
+        x = jnp.pad(x, ((0, Bp - B), (0, 0)))
+        y = jnp.pad(y, ((0, Bp - B), (0, 0)))
+    kernel = functools.partial(
+        _block_tail_kernel, B=B, D=D, I=I, gs=gs,
+        bn_cp=_pick_bn(D, D), bn_f12=_pick_bn(2 * I, D), bn_mp=_pick_bn(D, I),
+        cdtype=jnp.dtype(cdtype),
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, D), jnp.dtype(cdtype)),
+        in_specs=[vmem, vmem, vmem] + [hbm] * 9,
+        out_specs=vmem,
+        scratch_shapes=[
+            pltpu.VMEM((Bp, D), jnp.float32),
+            pltpu.VMEM((Bp, D), jnp.float32),
+            pltpu.VMEM((Bp, 2 * I), jnp.float32),
+            pltpu.VMEM((Bp, I), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * (D * D + 3 * D * I),
+            bytes_accessed=D * D // 2 + 3 * D * I // 2,
+            transcendentals=Bp * I,
+        ),
+        interpret=interpret,
+    )(
+        x, y, rms2.reshape(1, D),
+        cp["qw"], cp["qscale"], cp["qzero"],
+        f12["qw"], f12["qscale"], f12["qzero"],
+        mp["qw"], mp["qscale"], mp["qzero"],
+    )
+
+
+def use_serve_fused(config, layer_params) -> bool:
+    """Dispatch for the batched block-half kernels (slot_pos decode)."""
+    import os
+
+    if os.environ.get("LIT_LLAMA_TPU_SERVE_KERNEL", "1") == "0":
+        return False
+    if os.environ.get("LIT_LLAMA_TPU_NO_PALLAS"):
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if config.rope_layout != "half" or config.head_size != 128:
+        return False
+    return (
+        "qzero" in layer_params.get("attn", {}).get("c_attn", {})
+        and "c_fc12" in layer_params.get("mlp", {})
+    )
+
+
 def half_basis_perm(hs: int) -> jnp.ndarray:
     """Per-head column permutation interleaved -> half-rotation basis:
     new column j < hs/2 holds old column 2j; new j >= hs/2 holds old 2(j-hs/2)+1
@@ -525,6 +678,8 @@ def maybe_prepare_fused(params: Params, config) -> Tuple[Params, Any]:
     in tests). Opt out with LIT_LLAMA_TPU_FUSED=0 (A/B tool)."""
     import os
 
+    if config.rope_layout == "half":  # already prepared — never permute twice
+        return params, config
     if os.environ.get("LIT_LLAMA_TPU_FUSED", "1") == "0":
         return params, config
     if jax.default_backend() not in ("tpu", "axon"):

@@ -135,6 +135,12 @@ class DecodeEngine:
         else:
             # inference layout: unrolled layers, no per-step weight-slice copies
             self.params = llama.unstack_layers(params)
+            # half-rotation basis for the batched fused block kernels (no-op
+            # off-TPU / for unsupported models); the updated config also makes
+            # prefill apply the matching rope
+            from lit_llama_tpu.ops.fused_layer import maybe_prepare_fused
+
+            self.params, config = maybe_prepare_fused(self.params, config)
             if dp > 1:
                 # data-parallel serving (VERDICT r2 next #6): weights replicated
                 # per data group, slots sharded — jit-SPMD partitions the

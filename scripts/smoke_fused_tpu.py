@@ -120,6 +120,44 @@ def main() -> None:
         failures += 1
         print(f"decode_attention_write: EXCEPTION {type(e).__name__}: {str(e)[:400]}")
 
+    # --- batched block-half kernels (serving) --------------------------------
+    try:
+        from lit_llama_tpu.models.llama import (
+            _block_slot_fused, _slot_rope_tables, forward,
+        )
+
+        B = 8
+        kvb = {
+            "k": jnp.asarray(rng.normal(size=(B, H, S, hs)) * 0.3, jnp.bfloat16),
+            "v": jnp.asarray(rng.normal(size=(B, H, S, hs)) * 0.3, jnp.bfloat16),
+        }
+        xb = jnp.asarray(rng.normal(size=(B, D)) * 0.5, jnp.bfloat16)
+        slot_pos = jnp.asarray(rng.integers(1, S - 1, size=B), jnp.int32)
+        rope_rows = jnp.take(rope_cache, slot_pos, axis=0)[:, None]
+        cos3, sin3 = _slot_rope_tables(rope_rows, fcfg)
+        gotb, _ = _block_slot_fused(
+            fparams["h"][0], xb, cos3, sin3, fcfg, dict(kvb), slot_pos
+        )
+        # XLA reference: the slot_pos forward path with the fused path off
+        import os as _os
+
+        _os.environ["LIT_LLAMA_TPU_SERVE_KERNEL"] = "0"
+        mask = (jnp.arange(S)[None, :] <= slot_pos[:, None])[:, None, None, :]
+        refb, _ = llama._block(
+            fparams["h"][0], xb[:, None, :], rope_rows, mask, fcfg,
+            dict(kvb), slot_pos % S, False, None, None, slot_pos,
+        )
+        del _os.environ["LIT_LLAMA_TPU_SERVE_KERNEL"]
+        err = float(jnp.max(jnp.abs(
+            gotb.astype(jnp.float32) - refb[:, 0].astype(jnp.float32)
+        )))
+        ok = err < 0.25  # bf16 residual rounding differs (fused keeps f32)
+        failures += not ok
+        print(f"block_head/tail_fused (B=8): {'OK' if ok else 'FAIL'} (|d|={err:.4f})")
+    except Exception as e:  # noqa: BLE001
+        failures += 1
+        print(f"block_head/tail_fused: EXCEPTION {type(e).__name__}: {str(e)[:400]}")
+
     # --- end-to-end tiny fused generate --------------------------------------
     try:
         from lit_llama_tpu.models import generate as gen

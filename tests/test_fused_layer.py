@@ -156,6 +156,38 @@ def test_fused_generate_matches_standard(prepared):
     assert got.tolist() == ref.tolist()
 
 
+def test_engine_batched_fused_kernels_match(prepared, monkeypatch):
+    """The serving engine routed through the batched fused path (block-head
+    kernel -> write+attention kernel -> block-tail kernel, 3 launches/block)
+    matches the standard XLA engine greedy token-for-token."""
+    from lit_llama_tpu.models.generate import generate
+    from lit_llama_tpu.ops import fused_layer as fl
+    from lit_llama_tpu.serve.engine import DecodeEngine
+
+    cfg, qparams, fparams, fcfg = prepared
+    monkeypatch.setattr(
+        fl,
+        "use_serve_fused",
+        lambda config, lp: config.rope_layout == "half"
+        and "qzero" in lp["attn"]["c_attn"]
+        and "c_fc12" in lp["mlp"],
+    )
+    rng = np.random.default_rng(21)
+    prompts = [rng.integers(1, 128, size=n).astype(np.int32) for n in (5, 11, 3)]
+    expected = [
+        generate(
+            qparams, p, 6, config=cfg, max_seq_length=64, temperature=0.0
+        )[len(p):].tolist()
+        for p in prompts
+    ]
+    with pltpu.force_tpu_interpret_mode():
+        eng = DecodeEngine(fparams, fcfg, max_batch=3, max_seq_length=64)
+        ids = [eng.submit(p, 6) for p in prompts]
+        done = eng.run()
+    for rid, exp in zip(ids, expected):
+        assert done[rid].generated == exp, rid
+
+
 def test_rope_half_row_matches_apply_rope_half(prepared):
     """The one-roll kernel rotation (q*cos + roll(q)*sin_signed) equals
     apply_rope_half."""
