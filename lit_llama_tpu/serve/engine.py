@@ -143,14 +143,36 @@ class DecodeEngine:
             self.params, config = maybe_prepare_fused(self.params, config)
             if dp > 1:
                 # data-parallel serving (VERDICT r2 next #6): weights replicated
-                # per data group, slots sharded — jit-SPMD partitions the
-                # batch-parallel decode step with no cross-data communication
-                from jax.sharding import NamedSharding, PartitionSpec
+                # per data group, slots sharded. The decode step runs inside
+                # shard_map (NOT plain jit-SPMD): GSPMD cannot partition the
+                # Pallas custom calls of the fused serving kernels, so each
+                # data group must execute them on its LOCAL B/dp slots.
+                from jax import shard_map
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
                 self.params = jax.device_put(
-                    self.params, NamedSharding(mesh, PartitionSpec())
+                    self.params, NamedSharding(mesh, P())
                 )
-            self._fwd_prefill = self._fwd_decode = None
+                cfg_dp, rope_dp = config, build_rope_cache(
+                    config.block_size, config.head_size
+                )
+
+                def _decode_local(params, tokens, slot_pos, cache):
+                    return llama.forward(
+                        params, tokens, cfg_dp, rope_cache=rope_dp,
+                        slot_pos=slot_pos, kv_cache=cache,
+                    )
+
+                self._fwd_decode = shard_map(
+                    _decode_local,
+                    mesh=mesh,
+                    in_specs=(P(), P("data"), P("data"), P("data")),
+                    out_specs=(P("data"), P("data")),
+                    check_vma=False,
+                )
+            self._fwd_prefill = None
+            if dp <= 1:
+                self._fwd_decode = None
         self.config = config
         self.B = max_batch
         self.S = min(max_seq_length or config.block_size, config.block_size)
