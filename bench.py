@@ -177,20 +177,26 @@ def run_bench() -> None:
 
     if on_accel:
         # Long-context row: same decode against a full 2048-slot cache — the
-        # serving-relevant figure (VERDICT r2 weak #3).
-        tok_s_2k, compile_2k, times_2k, _ = _measure_decode(
-            params, config, max_new, 2048
-        )
-        record["extra_rows"] = [
-            {
-                "metric": "decode_tok_s_7b_int4_s2048",
-                "value": round(tok_s_2k, 2),
-                "unit": "tokens/sec/chip",
-            }
-        ]
-        notes.append(
-            f"s2048 compile {compile_2k:.1f}s runs {[f'{t:.2f}' for t in times_2k]}"
-        )
+        # serving-relevant figure (VERDICT r2 weak #3). A failure here must
+        # not void the headline already measured above.
+        try:
+            tok_s_2k, compile_2k, times_2k, _ = _measure_decode(
+                params, config, max_new, 2048
+            )
+            record["extra_rows"] = [
+                {
+                    "metric": "decode_tok_s_7b_int4_s2048",
+                    "value": round(tok_s_2k, 2),
+                    "unit": "tokens/sec/chip",
+                }
+            ]
+            notes.append(
+                f"s2048 compile {compile_2k:.1f}s runs {[f'{t:.2f}' for t in times_2k]}"
+            )
+        except Exception as e:  # noqa: BLE001
+            record["extra_rows"] = [
+                {"metric": "decode_tok_s_7b_int4_s2048", "error": str(e)[:300]}
+            ]
         mem = jax.local_devices()[0].memory_stats() or {}
         peak = mem.get("peak_bytes_in_use")
         if peak:
@@ -240,14 +246,20 @@ def _attempt(env_extra: dict, timeout_s: int):
 
 def main() -> None:
     errors = []
-    for i in range(ATTEMPTS):
-        rec, err = _attempt({}, ATTEMPT_TIMEOUT_S)
+    # last accelerator attempt disables the fused decode kernels: a Mosaic
+    # regression in the (newer) fused path must not cost the round its
+    # driver-verified number — the standard kernel path still measures.
+    attempt_envs = [{}] * max(1, ATTEMPTS - 1) + [{"LIT_LLAMA_TPU_FUSED": "0"}]
+    for i, env in enumerate(attempt_envs):
+        rec, err = _attempt(env, ATTEMPT_TIMEOUT_S)
         if rec is not None:
+            if env:
+                rec["fused_kernels"] = False
             print(json.dumps(rec))
             return
-        errors.append(f"attempt {i + 1}: {err}")
+        errors.append(f"attempt {i + 1}{' (unfused)' if env else ''}: {err}")
         print(f"# bench {errors[-1]}", file=sys.stderr)
-        if i + 1 < ATTEMPTS:
+        if i + 1 < len(attempt_envs):
             time.sleep(BACKOFF_S[min(i, len(BACKOFF_S) - 1)])
 
     # Accelerator unavailable: degraded CPU measurement so the round still
