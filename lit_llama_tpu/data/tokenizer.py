@@ -97,21 +97,57 @@ def train_bpe(text: str, vocab_size: int) -> SPModel:
             f"vocab_size={vocab_size} < {n_base} (specials + distinct characters)"
         )
 
+    # Incremental merge loop: a full rescan of every word per merge is
+    # O(vocab x unique_words) and takes DAYS at a corpus worth training a
+    # real model on (the 0.44B run: 8 MB sample, vocab 8192). Instead keep
+    # pair counts live, update only the words containing the merged pair, and
+    # find the max through a lazily-invalidated heap. Merge order (including
+    # the (count, pair) lexicographic-max tie-break) is IDENTICAL to the
+    # rescan version, so trained models are bit-identical.
+    import heapq
+
+    class _RevStr:
+        """Inverts lexicographic order so the min-heap pops the LARGEST pair
+        among equal counts (the rescan version's max() tie-break)."""
+
+        __slots__ = ("s",)
+
+        def __init__(self, s):
+            self.s = s
+
+        def __lt__(self, other):
+            return self.s > other.s
+
     seqs = {w: tuple(w) for w in words}
+    pairs: Counter = Counter()
+    pair_words: dict = {}
+    for w, seq in seqs.items():
+        f = words[w]
+        for p in zip(seq, seq[1:]):
+            pairs[p] += f
+            pair_words.setdefault(p, set()).add(w)
+    heap = [(-c, _RevStr(p), p) for p, c in pairs.items()]
+    heapq.heapify(heap)
+
+    def _push(p):
+        heapq.heappush(heap, (-pairs[p], _RevStr(p), p))
+
     merges: List[str] = []
     while n_base + len(merges) < vocab_size:
-        pairs: Counter = Counter()
-        for w, seq in seqs.items():
-            f = words[w]
-            for a, b in zip(seq, seq[1:]):
-                pairs[(a, b)] += f
-        if not pairs:
+        best = None
+        while heap:
+            negc, _, p = heapq.heappop(heap)
+            if pairs.get(p, 0) == -negc and -negc > 0:
+                best = p
+                break
+        if best is None:
             break
-        # highest frequency; ties broken lexicographically for determinism
-        (a, b), _ = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+        a, b = best
         merged = a + b
         merges.append(merged)
-        for w, seq in seqs.items():
+        for w in pair_words.pop(best, ()):  # only words containing the pair
+            seq = seqs[w]
+            f = words[w]
             out = []
             i = 0
             while i < len(seq):
@@ -121,7 +157,25 @@ def train_bpe(text: str, vocab_size: int) -> SPModel:
                 else:
                     out.append(seq[i])
                     i += 1
-            seqs[w] = tuple(out)
+            new_seq = tuple(out)
+            if new_seq == seq:
+                continue  # stale membership (pair already merged away)
+            changed = set()
+            for p in zip(seq, seq[1:]):
+                pairs[p] -= f
+                changed.add(p)
+            for p in zip(new_seq, new_seq[1:]):
+                pairs[p] += f
+                changed.add(p)
+                pair_words.setdefault(p, set()).add(w)
+            seqs[w] = new_seq
+            for p in changed:
+                if pairs.get(p, 0) <= 0:
+                    pairs.pop(p, None)
+                    pair_words.pop(p, None)
+                else:
+                    _push(p)  # newest count; older heap entries go stale
+        pairs.pop(best, None)
 
     pieces = list(specials)
     pieces += [Piece(m, -(i + 1.0)) for i, m in enumerate(merges)]
