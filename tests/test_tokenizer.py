@@ -147,3 +147,55 @@ def test_encode_flags(trained):
     ids = trained.encode("the", bos=True, max_length=10, pad=True)
     assert len(ids) == 10 and ids[-1] == trained.pad_id
     assert ids.dtype == np.int32
+
+
+def test_train_bpe_incremental_equals_rescan():
+    """The incremental-pair-count trainer must reproduce the naive
+    rescan-every-merge loop exactly (same merges, same order) — trained
+    models are bit-identical."""
+    import random
+    from collections import Counter
+
+    from lit_llama_tpu.data import tokenizer as tk
+    from lit_llama_tpu.data.tokenizer import WS
+
+    def train_rescan_merges(text, vocab_size):
+        words = Counter()
+        for line in text.splitlines():
+            for w in line.split():
+                words[WS + w] += 1
+        chars = sorted({c for w in words for c in w})
+        n_base = 3 + len(chars)
+        seqs = {w: tuple(w) for w in words}
+        merges = []
+        while n_base + len(merges) < vocab_size:
+            pairs = Counter()
+            for w, seq in seqs.items():
+                f = words[w]
+                for a, b in zip(seq, seq[1:]):
+                    pairs[(a, b)] += f
+            if not pairs:
+                break
+            (a, b), _ = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))
+            merged = a + b
+            merges.append(merged)
+            for w, seq in seqs.items():
+                out, i = [], 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                seqs[w] = tuple(out)
+        return merges
+
+    rng = random.Random(0)
+    lex = ["".join(rng.choices("abcdef", k=rng.randint(1, 8))) for _ in range(200)]
+    text = "\n".join(" ".join(rng.choices(lex, k=10)) for _ in range(60))
+    ref = train_rescan_merges(text, 120)
+    model = tk.train_bpe(text, 120)
+    specials = {"<unk>", "<s>", "</s>"}
+    got = [p.piece for p in model.pieces if p.score < 0 and p.piece not in specials]
+    assert got[: len(ref)] == ref
