@@ -208,9 +208,11 @@ def test_bf16_adam_state_tracks_fp32(cfg):
     lp_losses, lp_state = run("bfloat16")
     # moments actually stored in bf16
     adam_states = [
-        s for s in jax.tree_util.tree_leaves(
+        s
+        for s in jax.tree_util.tree_leaves(
             lp_state.opt_state, is_leaf=lambda x: hasattr(x, "mu")
-        ) if hasattr(x := s, "mu")
+        )
+        if hasattr(s, "mu")
     ]
     assert adam_states, "no ScaleByAdamState found"
     mu_leaf = jax.tree_util.tree_leaves(adam_states[0].mu)[0]
