@@ -188,6 +188,34 @@ def test_engine_batched_fused_kernels_match(prepared, monkeypatch):
         assert done[rid].generated == exp, rid
 
 
+def test_engine_batched_fused_long_generation(prepared, monkeypatch):
+    """Batched fused kernels + per-slot ring wrap: a request generating past
+    the cache length through block_head/write+attention/block_tail matches the
+    single-stream rolling reference."""
+    from lit_llama_tpu.models.generate import generate
+    from lit_llama_tpu.ops import fused_layer as fl
+    from lit_llama_tpu.serve.engine import DecodeEngine
+
+    cfg, qparams, fparams, fcfg = prepared
+    monkeypatch.setattr(
+        fl,
+        "use_serve_fused",
+        lambda config, lp: config.rope_layout == "half"
+        and "qzero" in lp["attn"]["c_attn"],
+    )
+    S = 16
+    prompt = np.asarray([5, 23, 81, 2, 40], np.int32)
+    n_new = 2 * S
+    expected = generate(
+        qparams, prompt, n_new, config=cfg, max_seq_length=S, temperature=0.0
+    )[len(prompt):].tolist()
+    with pltpu.force_tpu_interpret_mode():
+        eng = DecodeEngine(fparams, fcfg, max_batch=2, max_seq_length=S)
+        rid = eng.submit(prompt, n_new)
+        done = eng.run()
+    assert done[rid].generated == expected
+
+
 def test_rope_half_row_matches_apply_rope_half(prepared):
     """The one-roll kernel rotation (q*cos + roll(q)*sin_signed) equals
     apply_rope_half."""
