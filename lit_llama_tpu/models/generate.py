@@ -77,7 +77,17 @@ def _generate_compiled(
     T_new = T + max_new_tokens
     dtype = jnp.dtype(config.compute_dtype)
     rope_cache = build_rope_cache(config.block_size, config.head_size)
-    cache = llama.init_kv_cache(config, 1, max_seq_length, dtype)
+    # fused bf16 decode keeps the cache in the packed u32 pair layout (bf16
+    # density, 32-bit DMAs — ops/fused_layer.pack_kv); f32 compute streams the
+    # f32 cache directly. generate() makes max_seq_length even for this.
+    packed_cache = (
+        config.rope_layout == "half"
+        and isinstance(params.get("h"), (list, tuple))
+        and dtype == jnp.bfloat16
+        and config.kv_cache_dtype is None
+        and max_seq_length % 16 == 0
+    )
+    cache = llama.init_kv_cache(config, 1, max_seq_length, dtype, packed=packed_cache)
     if isinstance(params.get("h"), (list, tuple)):
         # per-layer cache rides with unstacked weights: in-place updates, no
         # per-step stacked-cache slice/re-stack copies
@@ -112,9 +122,14 @@ def _generate_compiled(
     # Whole-layer fused decode (ops/fused_layer.py): params prepared by
     # prepare_fused_params carry rope_layout == "half"; each decode step is
     # then ONE Pallas launch per block + lm_head — no per-op XLA work, no
-    # roll (the cache wraps as a ring, same retained window).
-    fused = config.rope_layout == "half" and isinstance(
-        params.get("h"), (list, tuple)
+    # roll (the cache wraps as a ring, same retained window). bf16 compute
+    # requires the packed cache (raw bf16 caches can't be DMA'd at dynamic
+    # offsets on this toolchain); if the cache couldn't be packed, fall back
+    # to the XLA decode loop, which handles the half-rotation basis.
+    fused = (
+        config.rope_layout == "half"
+        and isinstance(params.get("h"), (list, tuple))
+        and (dtype != jnp.bfloat16 or packed_cache)
     )
 
     def fused_step(tok, pos, cache, key):
@@ -198,10 +213,17 @@ def generate(
     T_new = T + max_new_tokens
     if max_seq_length is None:
         max_seq_length = min(T_new, config.block_size)
-    if config.rope_layout == "half" and max_seq_length > 128:
-        # fused decode kernel streams the cache in 128-row blocks once it no
-        # longer fits a single VMEM buffer; a 128-multiple S always tiles
-        max_seq_length = min(-(-max_seq_length // 128) * 128, config.block_size)
+    if config.rope_layout == "half":
+        if max_seq_length > 128:
+            # fused decode kernel streams the cache in 128-position blocks once
+            # it no longer fits a single VMEM buffer; a 128-multiple S tiles
+            max_seq_length = min(-(-max_seq_length // 128) * 128, config.block_size)
+        elif max_seq_length % 16:
+            # packed bf16-pair cache: S/2 word rows must DMA in chunks whose
+            # row count is 8-aligned (ops/fused_layer._row_chunks) — S % 16
+            max_seq_length = min(
+                -(-max_seq_length // 16) * 16, config.block_size
+            )
     if key is None:
         key = jax.random.PRNGKey(0)
     buf, n_generated = _generate_compiled(

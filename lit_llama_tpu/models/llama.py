@@ -94,14 +94,35 @@ def init_params(config: LLaMAConfig, key: jax.Array) -> Params:
 
 
 def init_kv_cache(
-    config: LLaMAConfig, batch_size: int, max_seq_length: int, dtype=None
+    config: LLaMAConfig, batch_size: int, max_seq_length: int, dtype=None,
+    packed: bool = False,
 ) -> KVCache:
     """Zero-initialized static-shape cache (reference: lit_llama/model.py:108-114).
 
     With ``config.kv_cache_dtype == "int8"`` k/v are stored int8 with an f32
     scale per (layer, batch, head, position) — half the memory and read
-    bandwidth of a bf16 cache."""
+    bandwidth of a bf16 cache.
+
+    ``packed=True``: the bf16-pair uint32 layout (L, B, H, S//2, hs) consumed
+    by the fused decode kernels (ops/fused_layer.pack_kv) — bf16 density with
+    only 32-bit DMAs. Requires an even ``max_seq_length`` and no int8 cache."""
     dtype = dtype or jnp.dtype(config.compute_dtype)
+    if packed:
+        assert config.kv_cache_dtype is None and max_seq_length % 2 == 0
+        shape = (
+            config.n_layer,
+            batch_size,
+            config.n_head,
+            max_seq_length // 2,
+            config.head_size,
+        )
+        cache = {"k": jnp.zeros(shape, jnp.uint32),
+                 "v": jnp.zeros(shape, jnp.uint32)}
+        if config.adapter is not None:
+            from lit_llama_tpu.peft import adapter as adapter_mod
+
+            cache.update(adapter_mod.init_adapter_cache(config, batch_size, dtype))
+        return cache
     shape = (
         config.n_layer,
         batch_size,
@@ -146,12 +167,67 @@ def _cache_write(arr: jnp.ndarray, new: jnp.ndarray, write_pos: jnp.ndarray) -> 
     (continuous batching). The per-slot path is ONE scatter per array: the
     vmapped dynamic_update_slice it replaces was lowered by XLA as a while
     loop over the batch (traced: ~64 inner whiles at ~126 us each = ~8 ms per
-    decode step at 32 slots — the dominant batch-scaling cost)."""
+    decode step at 32 slots — the dominant batch-scaling cost).
+
+    When ``arr`` is the packed bf16-pair uint32 layout (B, H, S//2, hs), rows
+    of ``new`` merge into their positions' word halves (prefill writes assume
+    an even scalar write_pos — chunk starts always are)."""
+    if arr.dtype == jnp.uint32 and new.dtype != jnp.uint32:
+        return _cache_write_packed(arr, new, write_pos)
     if write_pos.ndim == 0:
         return jax.lax.dynamic_update_slice(arr, new, (0, 0, write_pos, 0))
     B = arr.shape[0]
     return arr.at[jnp.arange(B), :, write_pos].set(
         new[:, :, 0], unique_indices=True, indices_are_sorted=True
+    )
+
+
+def _bf16_word_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """bf16-rounded bit pattern of ``x`` in the low 16 bits of a u32."""
+    f32 = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return jax.lax.bitcast_convert_type(f32, jnp.uint32) >> 16
+
+
+def _cache_write_packed(
+    arr: jnp.ndarray, new: jnp.ndarray, write_pos: jnp.ndarray
+) -> jnp.ndarray:
+    """XLA-side write into the packed uint32 pair cache (see
+    ops/fused_layer.pack_kv). Decode normally writes inside the Pallas kernels
+    (RMW of the word-row); this path serves prefill (scalar, even write_pos,
+    odd tails padded — the garbage half-word is position T, overwritten before
+    it becomes visible) and the kernel-off fallback (per-slot vector RMW)."""
+    from lit_llama_tpu.ops.fused_layer import pack_kv
+
+    B, H, T, hs = new.shape
+    if write_pos.ndim == 0:
+        if T == 1:
+            wr = write_pos // 2
+            hi = (write_pos % 2) == 1
+            old = jax.lax.dynamic_slice(
+                arr, (0, 0, wr, 0), (B, H, 1, hs)
+            )
+            bits = _bf16_word_bits(new)
+            merged = jnp.where(
+                hi,
+                (old & jnp.uint32(0xFFFF)) | (bits << 16),
+                (old & jnp.uint32(0xFFFF0000)) | bits,
+            )
+            return jax.lax.dynamic_update_slice(arr, merged, (0, 0, wr, 0))
+        if T % 2:
+            new = jnp.pad(new, ((0, 0), (0, 0), (0, 1), (0, 0)))
+        words = pack_kv(new)
+        return jax.lax.dynamic_update_slice(arr, words, (0, 0, write_pos // 2, 0))
+    # per-slot vector (B,): RMW merge of each slot's word-row
+    wr = write_pos // 2
+    old = arr[jnp.arange(B), :, wr]  # (B, H, hs) u32
+    bits = _bf16_word_bits(new[:, :, 0])
+    merged = jnp.where(
+        ((write_pos % 2) == 1)[:, None, None],
+        (old & jnp.uint32(0xFFFF)) | (bits << 16),
+        (old & jnp.uint32(0xFFFF0000)) | bits,
+    )
+    return arr.at[jnp.arange(B), :, wr].set(
+        merged, unique_indices=True, indices_are_sorted=True
     )
 
 
@@ -244,7 +320,8 @@ def _causal_self_attention(
         from lit_llama_tpu.ops import decode_attention as da
 
         quant_cache = "ks" in kv
-        S_cache = kv["k"].shape[-2]
+        packed_cache = kv["k"].dtype == jnp.uint32
+        S_cache = kv["k"].shape[-2] * (2 if packed_cache else 1)
         # Batched (continuous-batching) decode: ONE kernel fuses the per-slot
         # cache-row write with the attention read against the in-place
         # (aliased) cache — the separate scatter forced a cache layout the
@@ -278,6 +355,7 @@ def _causal_self_attention(
             limit is not None
             and attend_len is None
             and not quant_cache
+            and not packed_cache
             and da.use_decode_attention(q, kv["k"], S_cache)
         )
         if quant_cache:
@@ -300,7 +378,21 @@ def _causal_self_attention(
                 "k": _cache_write(kv["k"], k, write_pos),
                 "v": _cache_write(kv["v"], v, write_pos),
             }
-            k, v = new_kv["k"], new_kv["v"]
+            if packed_cache:
+                if attend_len is not None:
+                    # prefill-from-zero: the just-computed rows ARE the whole
+                    # visible history — keep the local (pre-pack) k/v and skip
+                    # the cache round-trip entirely
+                    pass
+                else:
+                    # chunked prefill / kernel-off fallback: unpack the pair
+                    # words back to bf16 rows for the XLA attention
+                    from lit_llama_tpu.ops.fused_layer import unpack_kv
+
+                    k = unpack_kv(new_kv["k"]).astype(q.dtype)
+                    v = unpack_kv(new_kv["v"]).astype(q.dtype)
+            else:
+                k, v = new_kv["k"], new_kv["v"]
 
     if use_da:
         from lit_llama_tpu.ops.decode_attention import decode_attention_pallas
@@ -482,9 +574,14 @@ def forward(
     kv_seq = isinstance(kv_cache, (list, tuple))
     kv_entry = (kv_cache[0] if kv_seq else kv_cache) if kv_cache is not None else None
     limit = None  # (B,) decode visibility bound for the Pallas decode kernel
+    # packed bf16-pair caches store two positions per uint32 word row
+    def _cache_positions(entry):
+        mult = 2 if entry["k"].dtype == jnp.uint32 else 1
+        return entry["k"].shape[-2] * mult
+
     if slot_pos is not None:
         assert T == 1, "slot_pos decode is single-token per slot"
-        S = kv_entry["k"].shape[-2]
+        S = _cache_positions(kv_entry)
         pos = jnp.clip(slot_pos, 0, config.block_size - 1)
         rope = jnp.take(rope_cache, pos, axis=0)[:, None]  # (B, 1, hs/2, 2)
         key_slots = jnp.arange(S)
@@ -512,7 +609,7 @@ def forward(
         attend_len = T
         write_pos = jnp.int32(0)
     else:
-        S = kv_entry["k"].shape[-2]
+        S = _cache_positions(kv_entry)
         # Overflow: roll the cache one slot left and write at the last slot
         # (reference: model.py:214-218). Only reachable in single-token decode.
         # axis=-2 is the sequence dim in both cache layouts (stacked
@@ -522,7 +619,12 @@ def forward(
         # every step (~2.9 ms/step at 7B S=2048, traced), and callers that
         # bound the generation by max_seq_length know statically that the
         # roll can never fire.
-        if T == 1 and can_overflow:
+        if T == 1 and kv_entry["k"].dtype == jnp.uint32:
+            # packed pair cache: ring write (a roll would shift word rows =
+            # two positions); retained window identical to the roll's set —
+            # attention is permutation-invariant over key slots
+            write_pos = input_pos[0] % S
+        elif T == 1 and can_overflow:
             overflow = input_pos[-1] >= S
             kv_cache = jax.tree_util.tree_map(
                 lambda c: jax.lax.cond(
@@ -577,12 +679,18 @@ def forward(
                 from lit_llama_tpu.ops import decode_attention as da
                 from lit_llama_tpu.ops import fused_layer as fl
 
-                S_c = kv_entry["k"].shape[-2]
-                serve_fused = (
-                    fl.use_serve_fused(config, layer_params[0])
-                    and kv_entry["k"].dtype == compute_dtype
-                    and (S_c <= 512 or S_c % 128 == 0)
+                packed_c = kv_entry["k"].dtype == jnp.uint32
+                S_c = kv_entry["k"].shape[-2] * (2 if packed_c else 1)
+                # kernel-compatible layouts only: packed bf16 pairs or f32
+                # direct (raw bf16 caches can't be DMA'd at dynamic offsets
+                # on this toolchain — ops/fused_layer.py module docstring)
+                cache_ok = (
+                    (packed_c and compute_dtype == jnp.bfloat16
+                     and S_c % 16 == 0 and (S_c <= 512 or S_c % 256 == 0))
+                    or (kv_entry["k"].dtype == compute_dtype == jnp.float32
+                        and (S_c <= 512 or S_c % 128 == 0))
                 )
+                serve_fused = fl.use_serve_fused(config, layer_params[0]) and cache_ok
             if serve_fused:
                 # batched fused decode: 3 launches per block, no XLA glue
                 cos3, sin3 = _slot_rope_tables(rope, config)

@@ -199,8 +199,9 @@ def decode_attention_pallas(
 
 
 def _pick_bs_serve(S: int, H: int, hs: int, itemsize: int) -> int:
-    """k and v stream double-buffered: 4 live (H, bs, hs) buffers must fit in
-    ~8 MB of VMEM (7B H=32 bf16: bs <= 256)."""
+    """k and v stream double-buffered: 4 live (H, bs, hs)-equivalent buffers
+    must fit in ~8 MB of VMEM (7B H=32 bf16: bs <= 256). ``S``/``bs`` count
+    POSITIONS; the packed u32 layout passes itemsize=2 (same bytes as bf16)."""
     cap = max(128, (8 * 1024 * 1024) // (4 * H * hs * itemsize))
     if S <= cap:
         return S
@@ -210,46 +211,113 @@ def _pick_bs_serve(S: int, H: int, hs: int, itemsize: int) -> int:
     raise ValueError(f"S={S}: need S % 128 == 0 past {cap}")
 
 
+def _unpack_words(w):
+    """u32 bf16-pair words -> (even_f32, odd_f32), exact."""
+    from jax.experimental.pallas import tpu as _pltpu
+
+    lo = _pltpu.bitcast(w << 16, jnp.float32)
+    hi = _pltpu.bitcast(w & jnp.uint32(0xFFFF0000), jnp.float32)
+    return lo, hi
+
+
 def _write_attn_kernel(
     pos_ref,  # (B,) SMEM int32 slot positions (= visibility limit)
     q_ref,  # (1, H, 1, hs) VMEM block for this slot
     kn_ref,  # (1, H, 1, hs) new key row (post-rope)
     vn_ref,
-    kc_in,  # (B, H, S, hs) ANY (aliased)
+    kc_in,  # ANY (aliased): (B, H, S, hs) f32 or (B, H, S//2, hs) u32 packed
     vc_in,
     o_ref,  # (1, H, 1, hs) VMEM out block
     kc_out,  # aliased cache outputs
     vc_out,
-    *, H, S, hs, bs, cdtype,
+    *, H, S, hs, bs, packed, cdtype,
 ):
     b = pl.program_id(0)
     limit = pos_ref[b]
     wp = jax.lax.rem(limit, S)  # ring write (see models/llama.py slot_pos path)
     scale = 1.0 / (hs**0.5)
     NSB = S // bs
+    rows_per_blk = bs // 2 if packed else bs
+    buf_dtype = jnp.uint32 if packed else jnp.dtype(cdtype)
 
     def body(kbuf, vbuf, m_s, l_s, acc_s, wsems, sems):
-        # 1) this slot's new row lands in its cache BEFORE the streaming read
-        kd = pltpu.make_async_copy(
-            kn_ref.at[0], kc_out.at[b, :, pl.ds(wp, 1), :], wsems.at[0]
-        )
-        vd = pltpu.make_async_copy(
-            vn_ref.at[0], vc_out.at[b, :, pl.ds(wp, 1), :], wsems.at[1]
-        )
-        kd.start()
-        vd.start()
-        kd.wait()
-        vd.wait()
+        # 1) this slot's new position lands in its cache BEFORE the streaming
+        #    read. Packed mode: read-modify-write of the position's word-row
+        #    (sub-32-bit DMAs at dynamic offsets are fatal to this Mosaic
+        #    toolchain — see ops/fused_layer.py module docstring).
+        if packed:
+            wr = wp // 2
+            hi_half = jax.lax.rem(wp, 2) == 1
 
-        # 2) online softmax over the slot's rows, double-buffered
+            def rmw(kb, vb, rsems):
+                rk = pltpu.make_async_copy(
+                    kc_out.at[b, :, pl.ds(wr, 1), :], kb, rsems.at[0]
+                )
+                rv = pltpu.make_async_copy(
+                    vc_out.at[b, :, pl.ds(wr, 1), :], vb, rsems.at[1]
+                )
+                rk.start()
+                rv.start()
+                rk.wait()
+                rv.wait()
+                kbits = pltpu.bitcast(
+                    kn_ref[0, :, 0, :].astype(jnp.float32), jnp.uint32
+                ) >> 16
+                vbits = pltpu.bitcast(
+                    vn_ref[0, :, 0, :].astype(jnp.float32), jnp.uint32
+                ) >> 16
+                oldk = kb[:, 0, :]
+                kb[:, 0, :] = jnp.where(
+                    hi_half,
+                    (oldk & jnp.uint32(0xFFFF)) | (kbits << 16),
+                    (oldk & jnp.uint32(0xFFFF0000)) | kbits,
+                )
+                oldv = vb[:, 0, :]
+                vb[:, 0, :] = jnp.where(
+                    hi_half,
+                    (oldv & jnp.uint32(0xFFFF)) | (vbits << 16),
+                    (oldv & jnp.uint32(0xFFFF0000)) | vbits,
+                )
+                wk = pltpu.make_async_copy(
+                    kb, kc_out.at[b, :, pl.ds(wr, 1), :], rsems.at[0]
+                )
+                wv = pltpu.make_async_copy(
+                    vb, vc_out.at[b, :, pl.ds(wr, 1), :], rsems.at[1]
+                )
+                wk.start()
+                wv.start()
+                wk.wait()
+                wv.wait()
+
+            pl.run_scoped(
+                rmw,
+                pltpu.VMEM((H, 1, hs), jnp.uint32),
+                pltpu.VMEM((H, 1, hs), jnp.uint32),
+                pltpu.SemaphoreType.DMA((2,)),
+            )
+        else:
+            kd = pltpu.make_async_copy(
+                kn_ref.at[0], kc_out.at[b, :, pl.ds(wp, 1), :], wsems.at[0]
+            )
+            vd = pltpu.make_async_copy(
+                vn_ref.at[0], vc_out.at[b, :, pl.ds(wp, 1), :], wsems.at[1]
+            )
+            kd.start()
+            vd.start()
+            kd.wait()
+            vd.wait()
+
+        # 2) online softmax over the slot's positions, double-buffered
         def dmas(slot, sb):
-            s0 = sb * bs
+            r0 = sb * rows_per_blk
             return (
                 pltpu.make_async_copy(
-                    kc_out.at[b, :, pl.ds(s0, bs), :], kbuf.at[slot], sems.at[slot, 0]
+                    kc_out.at[b, :, pl.ds(r0, rows_per_blk), :], kbuf.at[slot],
+                    sems.at[slot, 0],
                 ),
                 pltpu.make_async_copy(
-                    vc_out.at[b, :, pl.ds(s0, bs), :], vbuf.at[slot], sems.at[slot, 1]
+                    vc_out.at[b, :, pl.ds(r0, rows_per_blk), :], vbuf.at[slot],
+                    sems.at[slot, 1],
                 ),
             )
 
@@ -258,7 +326,7 @@ def _write_attn_kernel(
         acc_s[:] = jnp.zeros_like(acc_s)
         for d in dmas(0, 0):
             d.start()
-        q3 = q_ref[0, :, 0, :].astype(cdtype)  # (H, hs)
+        q3 = q_ref[0, :, 0, :].astype(jnp.float32)  # (H, hs)
         for sb in range(NSB):
             slot = sb % 2
             if sb + 1 < NSB:
@@ -270,25 +338,51 @@ def _write_attn_kernel(
 
             @pl.when(base <= limit)
             def _():
-                k3 = kbuf[slot].astype(cdtype)
-                s = jnp.sum(
-                    (k3 * q3[:, None, :]).astype(jnp.float32), axis=-1
-                ) * scale  # (H, bs)
-                rows = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1) + base
-                s = jnp.where(rows <= limit, s, NEG_INF)
-                m_prev = m_s[:]
-                m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-                alpha = jnp.exp(m_prev - m_new)
-                p = jnp.exp(s - m_new)
-                l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-                m_s[:] = m_new
-                pv = jnp.sum(
-                    (p.astype(cdtype)[:, :, None] * vbuf[slot].astype(cdtype)).astype(
-                        jnp.float32
-                    ),
-                    axis=1,
-                )
-                acc_s[:] = acc_s[:] * alpha + pv
+                if packed:
+                    k_lo, k_hi = _unpack_words(kbuf[slot])  # (H, bs/2, hs)
+                    s_lo = jnp.sum(k_lo * q3[:, None, :], axis=-1) * scale
+                    s_hi = jnp.sum(k_hi * q3[:, None, :], axis=-1) * scale
+                    iw = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, rows_per_blk), 1
+                    )
+                    rows_lo = base + 2 * iw
+                    s_lo = jnp.where(rows_lo <= limit, s_lo, NEG_INF)
+                    s_hi = jnp.where(rows_lo + 1 <= limit, s_hi, NEG_INF)
+                    m_prev = m_s[:]
+                    m_new = jnp.maximum(
+                        m_prev,
+                        jnp.maximum(
+                            jnp.max(s_lo, axis=-1, keepdims=True),
+                            jnp.max(s_hi, axis=-1, keepdims=True),
+                        ),
+                    )
+                    alpha = jnp.exp(m_prev - m_new)
+                    p_lo = jnp.exp(s_lo - m_new)
+                    p_hi = jnp.exp(s_hi - m_new)
+                    l_s[:] = l_s[:] * alpha + jnp.sum(
+                        p_lo, axis=-1, keepdims=True
+                    ) + jnp.sum(p_hi, axis=-1, keepdims=True)
+                    m_s[:] = m_new
+                    v_lo, v_hi = _unpack_words(vbuf[slot])
+                    pv = jnp.sum(p_lo[:, :, None] * v_lo, axis=1) + jnp.sum(
+                        p_hi[:, :, None] * v_hi, axis=1
+                    )
+                    acc_s[:] = acc_s[:] * alpha + pv
+                else:
+                    k3 = kbuf[slot].astype(jnp.float32)
+                    s = jnp.sum(k3 * q3[:, None, :], axis=-1) * scale  # (H, bs)
+                    rows = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1) + base
+                    s = jnp.where(rows <= limit, s, NEG_INF)
+                    m_prev = m_s[:]
+                    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+                    alpha = jnp.exp(m_prev - m_new)
+                    p = jnp.exp(s - m_new)
+                    l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                    m_s[:] = m_new
+                    pv = jnp.sum(
+                        p[:, :, None] * vbuf[slot].astype(jnp.float32), axis=1
+                    )
+                    acc_s[:] = acc_s[:] * alpha + pv
 
         o_ref[0, :, 0, :] = (
             acc_s[:] / jnp.maximum(l_s[:], 1e-30)
@@ -296,8 +390,8 @@ def _write_attn_kernel(
 
     pl.run_scoped(
         body,
-        pltpu.VMEM((2, H, bs, hs), cdtype),
-        pltpu.VMEM((2, H, bs, hs), cdtype),
+        pltpu.VMEM((2, H, rows_per_blk, hs), buf_dtype),
+        pltpu.VMEM((2, H, rows_per_blk, hs), buf_dtype),
         pltpu.VMEM((H, 1), jnp.float32),
         pltpu.VMEM((H, 1), jnp.float32),
         pltpu.VMEM((H, hs), jnp.float32),
@@ -323,11 +417,18 @@ def decode_attention_write_pallas(
     standalone kernel made XLA copy per layer (~2-5 ms/step at 32 slots,
     ops/decode_attention.py:199-216 of round 2). Writing the row inside the
     kernel against the aliased cache removes both the scatter and the copy.
+
+    ``kc``/``vc`` are (B, H, S, hs) f32 (direct mode) or (B, H, S//2, hs)
+    uint32 packed bf16 pairs (see ops/fused_layer.pack_kv) — sub-32-bit
+    dynamic-offset DMAs crash this toolchain's Mosaic compiler.
     """
-    B, H, S, hs = kc.shape
-    bs = _pick_bs_serve(S, H, hs, kc.dtype.itemsize)
+    B, H, Sc, hs = kc.shape
+    packed = kc.dtype == jnp.uint32
+    S = Sc * (2 if packed else 1)
+    bs = _pick_bs_serve(S, H, hs, 2 if packed else kc.dtype.itemsize)
     kernel = functools.partial(
-        _write_attn_kernel, H=H, S=S, hs=hs, bs=bs, cdtype=kc.dtype
+        _write_attn_kernel, H=H, S=S, hs=hs, bs=bs, packed=packed,
+        cdtype=q.dtype,
     )
     blk = pl.BlockSpec(
         (1, H, 1, hs), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
@@ -358,8 +459,8 @@ def decode_attention_write_pallas(
     )(
         slot_pos.astype(jnp.int32),
         q,
-        k_new.astype(kc.dtype),
-        v_new.astype(vc.dtype),
+        k_new.astype(q.dtype),
+        v_new.astype(q.dtype),
         kc,
         vc,
     )
@@ -368,7 +469,9 @@ def decode_attention_write_pallas(
 
 def use_write_attention(q, kc, S: int) -> bool:
     """Dispatch for the fused write+attention serving kernel (batched
-    single-token decode, bf16 cache)."""
+    single-token decode). The cache must be f32 (direct) or the packed-u32
+    bf16-pair layout; raw 16-bit caches cannot be DMA'd at dynamic offsets
+    on this toolchain."""
     if os.environ.get("LIT_LLAMA_TPU_NO_PALLAS"):
         return False
     if os.environ.get("LIT_LLAMA_TPU_SERVE_KERNEL", "1") == "0":
@@ -376,7 +479,17 @@ def use_write_attention(q, kc, S: int) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     B, H, T, hs = q.shape
-    if T != 1 or hs % 128 or kc.dtype != q.dtype:
+    if T != 1 or hs % 128:
+        return False
+    if kc.dtype == jnp.uint32:  # packed pairs: S = 2 * word rows
+        # S % 16: streamed word-row blocks must be 8-aligned (strided-DMA
+        # row rule, ops/fused_layer._row_chunks)
+        return (
+            q.dtype == jnp.bfloat16
+            and S % 16 == 0
+            and (S <= 512 or S % 256 == 0)
+        )
+    if kc.dtype != q.dtype or kc.dtype != jnp.float32:
         return False
     return S <= 512 or S % 128 == 0
 

@@ -25,10 +25,16 @@ Layout contracts (all enforced by ``fused_layer_supported``):
   ``prepare_fused_params`` (scores are invariant: q and k share the
   permutation; v and every other weight are untouched). The SAME model with
   ``config.rope_layout == "half"`` runs the standard XLA path for prefill.
-* KV cache bf16 (1, H, S, hs); the kernel writes the new row in place
-  (input_output_aliased) at ``write_pos`` and attends rows <= ``limit`` —
-  ring-buffer semantics, matching roll-left overflow up to key order (see
-  models/llama.py slot_pos path).
+* KV cache either f32 (1, H, S, hs) — exact-parity/test mode — or PACKED
+  bf16 pairs as uint32 (1, H, S//2, hs): word (h, r, j) holds positions
+  (2r, 2r+1)'s element j as (low | high << 16). The packing exists because
+  this toolchain's Mosaic compiler crashes on any manual DMA of a sub-32-bit
+  dtype at a dynamic offset (bisected on chip: f32/u32/i32 legal, bf16/u8
+  fatal) — 32-bit words with in-kernel shift/mask+bitcast unpack keep bf16's
+  HBM density with only 32-bit DMAs. The kernel updates the new position by
+  read-modify-write of its word-row (input_output_aliased) at ``write_pos``
+  and attends positions <= ``limit`` — ring-buffer semantics, matching
+  roll-left overflow up to key order (see models/llama.py slot_pos path).
 
 The matvec work vectors are (8, K) f32 with only row 0 live: M=1 padded to the
 8-sublane tile, dots run (8, gs) @ (gs, bn) in the natural orientation (no
@@ -52,6 +58,47 @@ NEG_INF = float(-1e30)
 
 
 # ---------------------------------------------------------------------------
+# Packed (bf16-pair) KV cache layout
+# ---------------------------------------------------------------------------
+
+
+def pack_kv(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., S, hs) bf16 -> (..., S//2, hs) uint32: word = pos 2r | pos 2r+1 << 16.
+
+    The decode kernels DMA the cache themselves, and this toolchain's Mosaic
+    backend only accepts 32-bit dtypes for dynamically-addressed DMAs; packing
+    two positions' bf16 elements per word keeps bf16 HBM density. S must be
+    even (odd tails are the caller's to pad)."""
+    lead, S, hs = x.shape[:-2], x.shape[-2], x.shape[-1]
+    pairs = x.astype(jnp.bfloat16).reshape(*lead, S // 2, 2, hs)
+    pairs = jnp.swapaxes(pairs, -1, -2)  # (..., S//2, hs, 2)
+    return jax.lax.bitcast_convert_type(pairs, jnp.uint32)
+
+
+def unpack_kv(w: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`pack_kv`: (..., S//2, hs) u32 -> (..., S, hs) bf16."""
+    pairs = jax.lax.bitcast_convert_type(w, jnp.bfloat16)  # (..., S//2, hs, 2)
+    pairs = jnp.swapaxes(pairs, -1, -2)  # (..., S//2, 2, hs)
+    lead, S2, hs = pairs.shape[:-3], pairs.shape[-3], pairs.shape[-1]
+    return pairs.reshape(*lead, S2 * 2, hs)
+
+
+def _unpack_words(w: jnp.ndarray):
+    """In-kernel: u32 pair words -> (even_f32, odd_f32), exact (bf16 widens by
+    appending 16 zero bits)."""
+    lo = pltpu.bitcast(w << 16, jnp.float32)
+    hi = pltpu.bitcast(w & jnp.uint32(0xFFFF0000), jnp.float32)
+    return lo, hi
+
+
+def _bf16_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """In-kernel: f32 array -> its round-to-nearest-even bf16 bit pattern in
+    the LOW 16 bits of a u32 (matches what `.astype(bfloat16)` would store)."""
+    rounded = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return pltpu.bitcast(rounded, jnp.uint32) >> 16
+
+
+# ---------------------------------------------------------------------------
 # In-kernel building blocks
 # ---------------------------------------------------------------------------
 
@@ -60,6 +107,26 @@ def _rms_norm_rows(x, w_ref, eps=1e-5):
     """(8, D) f32 row-wise RMSNorm; dead rows (all zero) stay zero."""
     ss = jnp.mean(x * x, axis=1, keepdims=True)
     return x * jax.lax.rsqrt(ss + eps) * w_ref[:].astype(jnp.float32)
+
+
+def blocked_scales(qs: jnp.ndarray, K: int, N: int, gs: int) -> jnp.ndarray:
+    """Host-side relayout of a (G, N) scale/zero plane into the kernel's DMA
+    unit: (NB, G8, bn) with bn = _pick_bn(N, K) and G8 = G rounded up to 8.
+
+    On-chip bisection of this Mosaic toolchain found two independent DMA
+    hazards at awkward G (e.g. 86 for 7B mlp.c_proj): column-sliced (strided)
+    sources crash unless the row count is a multiple of 8 or in {1, 2, 4},
+    and sliced VMEM destinations crash when the buffer's planes are not
+    8-row-aligned. Pre-blocking makes every scale DMA a contiguous
+    leading-index read into an aligned plane — the exact pattern the proven
+    kernels (weight streams, cache streams) use."""
+    G = K // gs
+    assert qs.shape == (G, N), (qs.shape, G, N)
+    bn = _pick_bn(N, K)
+    G8 = _round8(G)
+    q = jnp.pad(qs.astype(jnp.float32), ((0, G8 - G), (0, 0)))
+    # (G8, NB, bn) -> (NB, G8, bn)
+    return q.reshape(G8, N // bn, bn).transpose(1, 0, 2)
 
 
 def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
@@ -74,6 +141,14 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
     Gh = G // 2
     Kh = K // 2
     NB = N // bn
+    # blocked scale planes (NB, G8, bn) from blocked_scales(): contiguous
+    # leading-index DMA reads into 8-aligned buffer planes. The legacy (G, N)
+    # layout (interpret tests, unprepared params) DMAs column slices — only
+    # legal on chip for friendly G (see blocked_scales docstring).
+    blocked = qs.ndim == 3
+    G8 = qs.shape[1] if blocked else G
+    if blocked:
+        assert qs.shape == (NB, G8, bn) and G8 == _round8(G), (qs.shape, G, bn)
 
     # group sums of src for the factored zero-point term (f32, exact).
     # NOTE the lane-split reshape (8, K) -> (8, G, gs) is the one op here
@@ -87,16 +162,17 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
     def stage(wbuf, sbuf, zbuf, sems):
         def dmas(slot, nb):
             n0 = nb * bn
+            if blocked:
+                s_src, z_src = qs.at[nb], qz.at[nb]
+            else:
+                s_src = qs.at[:, pl.ds(n0, bn)]
+                z_src = qz.at[:, pl.ds(n0, bn)]
             return (
                 pltpu.make_async_copy(
                     qw.at[:, pl.ds(n0, bn)], wbuf.at[slot], sems.at[slot, 0]
                 ),
-                pltpu.make_async_copy(
-                    qs.at[:, pl.ds(n0, bn)], sbuf.at[slot], sems.at[slot, 1]
-                ),
-                pltpu.make_async_copy(
-                    qz.at[:, pl.ds(n0, bn)], zbuf.at[slot], sems.at[slot, 2]
-                ),
+                pltpu.make_async_copy(s_src, sbuf.at[slot], sems.at[slot, 1]),
+                pltpu.make_async_copy(z_src, zbuf.at[slot], sems.at[slot, 2]),
             )
 
         for d in dmas(0, 0):
@@ -114,7 +190,7 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
                 preferred_element_type=jnp.float32,
             )
             acc += jax.lax.dot_general(
-                gx_hi, zbuf[slot][Gh:], (((1,), (0,)), ((), ())),
+                gx_hi, zbuf[slot][Gh:G], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             for g in range(Gh):
@@ -140,33 +216,40 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
     pl.run_scoped(
         stage,
         pltpu.VMEM((2, Kh, bn), jnp.uint8),
-        pltpu.VMEM((2, G, bn), jnp.float32),
-        pltpu.VMEM((2, G, bn), jnp.float32),
+        pltpu.VMEM((2, G8, bn), jnp.float32),
+        pltpu.VMEM((2, G8, bn), jnp.float32),
         pltpu.SemaphoreType.DMA((2, 3)),
     )
 
 
-def _decode_attention(q3_ref, kc, vc, o_ref, limit, *, H, S, hs, bs, cdtype):
+def _decode_attention(q3_ref, kc, vc, o_ref, limit, *, H, S, hs, bs, packed,
+                      cdtype):
     """Online-softmax decode attention for one query row per head.
 
-    q3_ref (H, hs) cdtype VMEM; kc/vc (1, H, S, hs) cdtype HBM refs (the
-    aliased cache OUTPUT refs, read after the new row's write completed);
-    o_ref (H, hs) f32 VMEM out. Key slot s visible iff s <= limit.
-    Head-batched VPU multiply-reduce (the round-2 finding: M=1 MXU dots per
-    head pay a fixed pass latency each; see ops/decode_attention.py).
+    q3_ref (H, hs) VMEM; kc/vc HBM refs (the aliased cache OUTPUT refs, read
+    after the new row's write completed): (1, H, S, hs) f32 direct mode, or
+    (1, H, S//2, hs) u32 packed bf16 pairs. o_ref (H, hs) f32 VMEM out. Key
+    position p visible iff p <= limit. ``bs`` counts POSITIONS per block (even
+    in packed mode). Head-batched VPU multiply-reduce (the round-2 finding:
+    M=1 MXU dots per head pay a fixed pass latency each;
+    see ops/decode_attention.py).
     """
     scale = 1.0 / (hs**0.5)
     NSB = S // bs
+    rows_per_blk = bs // 2 if packed else bs  # DMA'd cache rows per block
+    buf_dtype = jnp.uint32 if packed else jnp.dtype(cdtype)
 
     def stage(kbuf, vbuf, m_s, l_s, acc_s, sems):
         def dmas(slot, sb):
-            s0 = sb * bs
+            r0 = sb * rows_per_blk
             return (
                 pltpu.make_async_copy(
-                    kc.at[0, :, pl.ds(s0, bs), :], kbuf.at[slot], sems.at[slot, 0]
+                    kc.at[0, :, pl.ds(r0, rows_per_blk), :], kbuf.at[slot],
+                    sems.at[slot, 0],
                 ),
                 pltpu.make_async_copy(
-                    vc.at[0, :, pl.ds(s0, bs), :], vbuf.at[slot], sems.at[slot, 1]
+                    vc.at[0, :, pl.ds(r0, rows_per_blk), :], vbuf.at[slot],
+                    sems.at[slot, 1],
                 ),
             )
 
@@ -175,7 +258,7 @@ def _decode_attention(q3_ref, kc, vc, o_ref, limit, *, H, S, hs, bs, cdtype):
         acc_s[:] = jnp.zeros_like(acc_s)
         for d in dmas(0, 0):
             d.start()
-        q3 = q3_ref[:]
+        q3 = q3_ref[:].astype(jnp.float32)
         for sb in range(NSB):
             slot = sb % 2
             if sb + 1 < NSB:
@@ -187,31 +270,58 @@ def _decode_attention(q3_ref, kc, vc, o_ref, limit, *, H, S, hs, bs, cdtype):
 
             @pl.when(base <= limit)
             def _():
-                k3 = kbuf[slot]  # (H, bs, hs)
-                s = jnp.sum(
-                    (k3 * q3[:, None, :]).astype(jnp.float32), axis=-1
-                )  # (H, bs)
-                s = s * scale
-                rows = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1) + base
-                s = jnp.where(rows <= limit, s, NEG_INF)
-                m_prev = m_s[:]
-                m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-                alpha = jnp.exp(m_prev - m_new)
-                p = jnp.exp(s - m_new)
-                l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-                m_s[:] = m_new
-                pv = jnp.sum(
-                    (p.astype(cdtype)[:, :, None] * vbuf[slot]).astype(jnp.float32),
-                    axis=1,
-                )  # (H, hs)
-                acc_s[:] = acc_s[:] * alpha + pv
+                if packed:
+                    k_lo, k_hi = _unpack_words(kbuf[slot])  # (H, bs/2, hs) f32
+                    s_lo = jnp.sum(k_lo * q3[:, None, :], axis=-1) * scale
+                    s_hi = jnp.sum(k_hi * q3[:, None, :], axis=-1) * scale
+                    iw = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, rows_per_blk), 1
+                    )
+                    rows_lo = base + 2 * iw
+                    s_lo = jnp.where(rows_lo <= limit, s_lo, NEG_INF)
+                    s_hi = jnp.where(rows_lo + 1 <= limit, s_hi, NEG_INF)
+                    m_prev = m_s[:]
+                    m_new = jnp.maximum(
+                        m_prev,
+                        jnp.maximum(
+                            jnp.max(s_lo, axis=-1, keepdims=True),
+                            jnp.max(s_hi, axis=-1, keepdims=True),
+                        ),
+                    )
+                    alpha = jnp.exp(m_prev - m_new)
+                    p_lo = jnp.exp(s_lo - m_new)
+                    p_hi = jnp.exp(s_hi - m_new)
+                    l_s[:] = l_s[:] * alpha + jnp.sum(
+                        p_lo, axis=-1, keepdims=True
+                    ) + jnp.sum(p_hi, axis=-1, keepdims=True)
+                    m_s[:] = m_new
+                    v_lo, v_hi = _unpack_words(vbuf[slot])
+                    pv = jnp.sum(p_lo[:, :, None] * v_lo, axis=1) + jnp.sum(
+                        p_hi[:, :, None] * v_hi, axis=1
+                    )  # (H, hs)
+                    acc_s[:] = acc_s[:] * alpha + pv
+                else:
+                    k3 = kbuf[slot].astype(jnp.float32)  # (H, bs, hs)
+                    s = jnp.sum(k3 * q3[:, None, :], axis=-1) * scale
+                    rows = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1) + base
+                    s = jnp.where(rows <= limit, s, NEG_INF)
+                    m_prev = m_s[:]
+                    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+                    alpha = jnp.exp(m_prev - m_new)
+                    p = jnp.exp(s - m_new)
+                    l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                    m_s[:] = m_new
+                    pv = jnp.sum(
+                        p[:, :, None] * vbuf[slot].astype(jnp.float32), axis=1
+                    )  # (H, hs)
+                    acc_s[:] = acc_s[:] * alpha + pv
 
         o_ref[:] = acc_s[:] / jnp.maximum(l_s[:], 1e-30)
 
     pl.run_scoped(
         stage,
-        pltpu.VMEM((2, H, bs, hs), cdtype),
-        pltpu.VMEM((2, H, bs, hs), cdtype),
+        pltpu.VMEM((2, H, rows_per_blk, hs), buf_dtype),
+        pltpu.VMEM((2, H, rows_per_blk, hs), buf_dtype),
         pltpu.VMEM((H, 1), jnp.float32),
         pltpu.VMEM((H, 1), jnp.float32),
         pltpu.VMEM((H, hs), jnp.float32),
@@ -237,7 +347,7 @@ def _layer_kernel(
     xo_ref, kc_out, vc_out,
     # persistent scratch
     xs, h, qkv, fg, gg, q3, knew, vnew,
-    *, D, I, H, S, hs, gs, bn_ca, bn_cp, bn_f12, bn_mp, bs, cdtype,
+    *, D, I, H, S, hs, gs, bn_ca, bn_cp, bn_f12, bn_mp, bs, packed, cdtype,
 ):
     wp = wp_ref[0]
     limit = limit_ref[0]
@@ -259,24 +369,79 @@ def _layer_kernel(
         qh = qkv[0:1, head * hs : (head + 1) * hs].astype(jnp.float32)
         kh = qkv[0:1, D + head * hs : D + (head + 1) * hs].astype(jnp.float32)
         vh = qkv[0:1, 2 * D + head * hs : 2 * D + (head + 1) * hs]
-        q3[head : head + 1, :] = (qh * cosf + rot(qh, hs // 2, axis=1) * sinf).astype(cdtype)
-        knew[head, 0:1, :] = (kh * cosf + rot(kh, hs // 2, axis=1) * sinf).astype(cdtype)
-        vnew[head, 0:1, :] = vh.astype(cdtype)
+        q3[head : head + 1, :] = qh * cosf + rot(qh, hs // 2, axis=1) * sinf
+        krow = kh * cosf + rot(kh, hs // 2, axis=1) * sinf
+        if packed:
+            knew[head : head + 1, :] = _bf16_bits(krow)
+            vnew[head : head + 1, :] = _bf16_bits(vh.astype(jnp.float32))
+        else:
+            knew[head, 0:1, :] = krow.astype(knew.dtype)
+            vnew[head, 0:1, :] = vh.astype(vnew.dtype)
 
-    # write the new row in place, then attend over the cache including it
-    def write_rows(sems):
-        kd = pltpu.make_async_copy(knew, kc_out.at[0, :, pl.ds(wp, 1), :], sems.at[0])
-        vd = pltpu.make_async_copy(vnew, vc_out.at[0, :, pl.ds(wp, 1), :], sems.at[1])
-        kd.start()
-        vd.start()
-        kd.wait()
-        vd.wait()
+    # write the new position in place, then attend over the cache including it
+    if packed:
+        wr = wp // 2
+        hi_half = jax.lax.rem(wp, 2) == 1
 
-    pl.run_scoped(write_rows, pltpu.SemaphoreType.DMA((2,)))
+        def write_rows(kb, vb, sems):
+            rk = pltpu.make_async_copy(
+                kc_out.at[0, :, pl.ds(wr, 1), :], kb, sems.at[0]
+            )
+            rv = pltpu.make_async_copy(
+                vc_out.at[0, :, pl.ds(wr, 1), :], vb, sems.at[1]
+            )
+            rk.start()
+            rv.start()
+            rk.wait()
+            rv.wait()
+            oldk = kb[:, 0, :]
+            kb[:, 0, :] = jnp.where(
+                hi_half,
+                (oldk & jnp.uint32(0xFFFF)) | (knew[:] << 16),
+                (oldk & jnp.uint32(0xFFFF0000)) | knew[:],
+            )
+            oldv = vb[:, 0, :]
+            vb[:, 0, :] = jnp.where(
+                hi_half,
+                (oldv & jnp.uint32(0xFFFF)) | (vnew[:] << 16),
+                (oldv & jnp.uint32(0xFFFF0000)) | vnew[:],
+            )
+            wk = pltpu.make_async_copy(
+                kb, kc_out.at[0, :, pl.ds(wr, 1), :], sems.at[0]
+            )
+            wv = pltpu.make_async_copy(
+                vb, vc_out.at[0, :, pl.ds(wr, 1), :], sems.at[1]
+            )
+            wk.start()
+            wv.start()
+            wk.wait()
+            wv.wait()
+
+        pl.run_scoped(
+            write_rows,
+            pltpu.VMEM((H, 1, hs), jnp.uint32),
+            pltpu.VMEM((H, 1, hs), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        )
+    else:
+
+        def write_rows(sems):
+            kd = pltpu.make_async_copy(
+                knew, kc_out.at[0, :, pl.ds(wp, 1), :], sems.at[0]
+            )
+            vd = pltpu.make_async_copy(
+                vnew, vc_out.at[0, :, pl.ds(wp, 1), :], sems.at[1]
+            )
+            kd.start()
+            vd.start()
+            kd.wait()
+            vd.wait()
+
+        pl.run_scoped(write_rows, pltpu.SemaphoreType.DMA((2,)))
 
     def att_out(y_s):
-        _decode_attention(q3, kc_out, vc_out, y_s, limit, H=H, S=S, hs=hs, bs=bs,
-                          cdtype=cdtype)
+        _decode_attention(q3, kc_out, vc_out, y_s, limit, H=H, S=S, hs=hs,
+                          bs=bs, packed=packed, cdtype=cdtype)
         h[:] = jnp.zeros_like(h)
         for head in range(H):
             h[0:1, head * hs : (head + 1) * hs] = y_s[head : head + 1, :]
@@ -309,9 +474,11 @@ def _pick_bn(N: int, K: int) -> int:
 
 
 def _pick_bs(S: int, H: int, hs: int, itemsize: int) -> int:
-    """Cache-streaming block: k and v are double-buffered (4 live (H, bs, hs)
-    buffers), which must stay within ~8 MB of VMEM next to the persistent
-    work vectors (7B H=32: bs <= 256)."""
+    """Cache-streaming block (POSITIONS per iteration): k and v are
+    double-buffered (4 live (H, bs, hs)-equivalent buffers), which must stay
+    within ~8 MB of VMEM next to the persistent work vectors (7B H=32:
+    bs <= 256). Packed u32 buffers hold bs/2 word rows — same bytes as bf16,
+    so callers pass itemsize=2 for the packed layout."""
     cap = max(128, (8 * 1024 * 1024) // (4 * H * hs * itemsize))
     if S <= cap:
         return S
@@ -329,20 +496,26 @@ def _call_layer(
     wp, limit, x, rms1, rms2, cosf, sinf, weights, kc, vc,
     *, D, I, H, S, hs, gs, cdtype, interpret=False,
 ):
+    packed = kc.dtype == jnp.uint32
     bn_ca = _pick_bn(3 * D, D)
     bn_cp = _pick_bn(D, D)
     bn_f12 = _pick_bn(2 * I, D)
     bn_mp = _pick_bn(D, I)
-    bs = _pick_bs(S, H, hs, kc.dtype.itemsize)
+    bs = _pick_bs(S, H, hs, 2 if packed else kc.dtype.itemsize)
     kernel = functools.partial(
         _layer_kernel, D=D, I=I, H=H, S=S, hs=hs, gs=gs,
         bn_ca=bn_ca, bn_cp=bn_cp, bn_f12=bn_f12, bn_mp=bn_mp, bs=bs,
-        cdtype=jnp.dtype(cdtype),
+        packed=packed, cdtype=jnp.dtype(cdtype),
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     kbytes = D * D // 2 * 4 + D * I // 2 * 3  # packed weight bytes per layer
+    new_shape = (
+        (pltpu.VMEM((H, hs), jnp.uint32),) * 2
+        if packed
+        else (pltpu.VMEM((H, 1, hs), kc.dtype),) * 2
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=(
@@ -361,13 +534,13 @@ def _call_layer(
             pltpu.VMEM((8, 3 * D), jnp.float32),   # qkv
             pltpu.VMEM((8, 2 * I), jnp.float32),   # fc12 out
             pltpu.VMEM((8, I), jnp.float32),       # gate
-            pltpu.VMEM((H, hs), jnp.dtype(cdtype)),  # q3
-            pltpu.VMEM((H, 1, hs), kc.dtype),      # knew
-            pltpu.VMEM((H, 1, hs), kc.dtype),      # vnew
+            pltpu.VMEM((H, hs), jnp.float32),      # q3 (rotated query, f32)
+            new_shape[0],                          # knew (bits / row)
+            new_shape[1],                          # vnew
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * (4 * D * D + 3 * D * I) + 4 * H * S * hs,
-            bytes_accessed=kbytes + 2 * H * S * hs * kc.dtype.itemsize,
+            bytes_accessed=kbytes + 2 * H * S * hs * 2,
             transcendentals=H * S + 2 * I,
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -386,7 +559,8 @@ def _call_layer(
 def decode_layer_fused(
     x: jnp.ndarray,  # (1, D) compute dtype
     lp: Params,  # prepared layer params (see prepare_fused_params)
-    kv: Dict[str, jnp.ndarray],  # {"k": (1, H, S, hs), "v": ...} bf16
+    kv: Dict[str, jnp.ndarray],  # {"k", "v"}: (1, H, S, hs) f32 or packed
+    #   (1, H, S//2, hs) uint32 bf16 pairs (see pack_kv)
     cosf: jnp.ndarray,  # (1, hs) f32 half-basis cos row at this position
     sinf: jnp.ndarray,  # (1, hs) f32 SIGNED sin row (see rope.rope_half_row)
     write_pos: jnp.ndarray,  # () int32 ring write slot (= pos % S)
@@ -397,20 +571,17 @@ def decode_layer_fused(
     """One fused block step. Returns (x_out (1, D), updated cache dict)."""
     D, H, hs = config.n_embd, config.n_head, config.head_size
     I = config.intermediate_size
-    S = kv["k"].shape[-2]
+    packed = kv["k"].dtype == jnp.uint32
+    S = kv["k"].shape[-2] * (2 if packed else 1)
+    ca_s, ca_z = _scale_pair(lp["attn"]["c_attn"])
+    cp_s, cp_z = _scale_pair(lp["attn"]["c_proj"])
+    f12_s, f12_z = _scale_pair(lp["mlp"]["c_fc12"])
+    mp_s, mp_z = _scale_pair(lp["mlp"]["c_proj"])
     weights = {
-        "ca_qw": lp["attn"]["c_attn"]["qw"],
-        "ca_qs": lp["attn"]["c_attn"]["qscale"],
-        "ca_qz": lp["attn"]["c_attn"]["qzero"],
-        "cp_qw": lp["attn"]["c_proj"]["qw"],
-        "cp_qs": lp["attn"]["c_proj"]["qscale"],
-        "cp_qz": lp["attn"]["c_proj"]["qzero"],
-        "f12_qw": lp["mlp"]["c_fc12"]["qw"],
-        "f12_qs": lp["mlp"]["c_fc12"]["qscale"],
-        "f12_qz": lp["mlp"]["c_fc12"]["qzero"],
-        "mp_qw": lp["mlp"]["c_proj"]["qw"],
-        "mp_qs": lp["mlp"]["c_proj"]["qscale"],
-        "mp_qz": lp["mlp"]["c_proj"]["qzero"],
+        "ca_qw": lp["attn"]["c_attn"]["qw"], "ca_qs": ca_s, "ca_qz": ca_z,
+        "cp_qw": lp["attn"]["c_proj"]["qw"], "cp_qs": cp_s, "cp_qz": cp_z,
+        "f12_qw": lp["mlp"]["c_fc12"]["qw"], "f12_qs": f12_s, "f12_qz": f12_z,
+        "mp_qw": lp["mlp"]["c_proj"]["qw"], "mp_qs": mp_s, "mp_qz": mp_z,
     }
     xo, kc, vc = _call_layer(
         jnp.asarray(write_pos, jnp.int32).reshape(1),
@@ -464,8 +635,9 @@ def _call_head(x, lnw, qw, qs, qz, *, D, V, gs, cdtype, interpret=False):
 
 def lm_head_fused(x, ln_w, head: Params, config, interpret: bool = False):
     """Fused final-norm + lm_head logits for one decode token: (1, D)->(1, V)."""
+    qs, qz = _scale_pair(head)
     return _call_head(
-        x, ln_w, head["qw"], head["qscale"], head["qzero"],
+        x, ln_w, head["qw"], qs, qz,
         D=config.n_embd, V=head["qw"].shape[-1], gs=config.quant_groupsize,
         cdtype=jnp.dtype(config.compute_dtype).name, interpret=interpret,
     )
@@ -561,7 +733,7 @@ def block_head_fused(x, rms1, cos3, sin3, ca, *, B, D, gs, cdtype,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, rms1.reshape(1, D), cos3, sin3, ca["qw"], ca["qscale"], ca["qzero"])
+    )(x, rms1.reshape(1, D), cos3, sin3, ca["qw"], *_scale_pair(ca))
 
 
 @functools.partial(
@@ -600,9 +772,9 @@ def block_tail_fused(x, y, rms2, cp, f12, mp, *, B, D, I, gs, cdtype,
         interpret=interpret,
     )(
         x, y, rms2.reshape(1, D),
-        cp["qw"], cp["qscale"], cp["qzero"],
-        f12["qw"], f12["qscale"], f12["qzero"],
-        mp["qw"], mp["qscale"], mp["qzero"],
+        cp["qw"], *_scale_pair(cp),
+        f12["qw"], *_scale_pair(f12),
+        mp["qw"], *_scale_pair(mp),
     )
 
 
@@ -689,20 +861,57 @@ def maybe_prepare_fused(params: Params, config) -> Tuple[Params, Any]:
     return prepare_fused_params(params, config)
 
 
+def _add_blocked_scales(w: Params, gs: int) -> Params:
+    """Attach the kernel's DMA-friendly scale layout (see blocked_scales) as
+    ``qscale_b``/``qzero_b`` next to the (G, N) planes the XLA path uses."""
+    if "qscale" not in w:
+        return w
+    K = 2 * w["qw"].shape[-2]
+    N = w["qw"].shape[-1]
+    try:
+        qs_b = blocked_scales(w["qscale"], K, N, gs)
+        qz_b = blocked_scales(w["qzero"], K, N, gs)
+    except ValueError:
+        return w  # no 128-multiple block divisor (tiny test vocabs): keep raw
+    out = dict(w)
+    out["qscale_b"] = qs_b
+    out["qzero_b"] = qz_b
+    return out
+
+
+def _scale_pair(w: Params):
+    """Kernel operands: blocked planes when prepared, legacy (G, N) otherwise."""
+    if "qscale_b" in w:
+        return w["qscale_b"], w["qzero_b"]
+    return w["qscale"], w["qzero"]
+
+
 def prepare_fused_params(params: Params, config) -> Tuple[Params, Any]:
     """Convert unstacked int4 inference params to the fused-kernel layout:
-    c_attn q/k columns permuted to the half-rotation basis. Returns
+    c_attn q/k columns permuted to the half-rotation basis, and every
+    quantized weight's scale/zero planes pre-blocked into the kernel's DMA
+    unit (blocked_scales — awkward group counts like 7B mlp.c_proj's G=86
+    cannot be DMA'd as column slices on this toolchain). Returns
     (params, config) with ``config.rope_layout == "half"`` so the standard
     XLA forward (used for prefill and as the parity reference) applies the
     matching rotation."""
-    D, hs = config.n_embd, config.head_size
+    D, hs, gs = config.n_embd, config.head_size, config.quant_groupsize
     out = dict(params)
     layers = []
     for lp in params["h"]:
         lp = dict(lp)
         attn = dict(lp["attn"])
-        attn["c_attn"] = permute_qk_columns(dict(attn["c_attn"]), D, hs)
+        attn["c_attn"] = _add_blocked_scales(
+            permute_qk_columns(dict(attn["c_attn"]), D, hs), gs
+        )
+        attn["c_proj"] = _add_blocked_scales(dict(attn["c_proj"]), gs)
         lp["attn"] = attn
+        mlp = dict(lp["mlp"])
+        for name in mlp:
+            mlp[name] = _add_blocked_scales(dict(mlp[name]), gs)
+        lp["mlp"] = mlp
         layers.append(lp)
     out["h"] = tuple(layers)
+    if "qscale" in params.get("lm_head", {}):
+        out["lm_head"] = _add_blocked_scales(dict(params["lm_head"]), gs)
     return out, config.replace(rope_layout="half")

@@ -192,9 +192,24 @@ class DecodeEngine:
         else:
             # per-layer tuple matching the unstacked weights (no per-step
             # stacked-cache slice/re-stack copies; batch axis is ndim-4 in
-            # both layouts, which the prefill slice lambdas rely on)
+            # both layouts, which the prefill slice lambdas rely on).
+            # Under the batched fused kernels with bf16 compute, the cache is
+            # the packed bf16-pair uint32 layout (ops/fused_layer.pack_kv):
+            # bf16 HBM density with only 32-bit DMAs — raw bf16 caches cannot
+            # be DMA'd at dynamic offsets on this Mosaic toolchain.
+            packed = False
+            if dtype == jnp.bfloat16 and config.kv_cache_dtype is None:
+                from lit_llama_tpu.ops.fused_layer import use_serve_fused
+
+                h = self.params.get("h")
+                if isinstance(h, (list, tuple)) and use_serve_fused(config, h[0]):
+                    if self.S % 16:
+                        # pair words hold two positions, and the kernel's
+                        # strided cache DMAs need 8-aligned word-row counts
+                        self.S -= self.S % 16
+                    packed = self.S <= 512 or self.S % 256 == 0
             self.cache = llama.unstack_kv_cache(
-                llama.init_kv_cache(config, self.B, self.S, dtype)
+                llama.init_kv_cache(config, self.B, self.S, dtype, packed=packed)
             )
             if dp > 1:
                 # slot rows live on their data group's HBM — B/dp slots per

@@ -45,11 +45,12 @@ def main() -> None:
     D, H, hs, S = cfg.n_embd, cfg.n_head, cfg.head_size, 128
     rng = np.random.default_rng(0)
 
-    # --- whole-layer kernel vs XLA block -----------------------------------
+    # --- whole-layer kernel (packed bf16-pair cache) vs XLA block ----------
     kv = {
         "k": jnp.asarray(rng.normal(size=(1, H, S, hs)) * 0.3, jnp.bfloat16),
         "v": jnp.asarray(rng.normal(size=(1, H, S, hs)) * 0.3, jnp.bfloat16),
     }
+    kvp = {n: fused_layer.pack_kv(c) for n, c in kv.items()}
     x = jnp.asarray(rng.normal(size=(1, D)) * 0.5, jnp.bfloat16)
     lp = fparams["h"][0]
     pos = jnp.int32(37)
@@ -61,14 +62,15 @@ def main() -> None:
     ref_out, ref_kv = llama._block(lp, x[None], rope, mask, fcfg, kv, pos % S, False)
     cosf, sinf = rope_half_row(rope_cache, pos, hs)
     try:
-        got_out, got_kv = fused_layer.decode_layer_fused(
-            x, lp, kv, cosf, sinf, pos % S, pos, fcfg
+        got_out, got_kvp = fused_layer.decode_layer_fused(
+            x, lp, kvp, cosf, sinf, pos % S, pos, fcfg
         )
+        got_k = fused_layer.unpack_kv(got_kvp["k"])
         err = float(
             jnp.max(jnp.abs(got_out.astype(jnp.float32) - ref_out[0].astype(jnp.float32)))
         )
         kerr = float(
-            jnp.max(jnp.abs(got_kv["k"].astype(jnp.float32) - ref_kv["k"].astype(jnp.float32)))
+            jnp.max(jnp.abs(got_k.astype(jnp.float32) - ref_kv["k"].astype(jnp.float32)))
         )
         ok = err < 0.15 and kerr < 0.02
         failures += not ok
@@ -109,7 +111,10 @@ def main() -> None:
         vc_ref = vc.at[jnp.arange(B), :, wp].set(vn[:, :, 0])
         maskv = (jnp.arange(S)[None, :] <= posv[:, None])[:, None, None, :]
         y_ref = attention_xla(q, kc_ref, vc_ref, maskv)
-        y, kc2, vc2 = decode_attention_write_pallas(q, kn, vn, kc, vc, posv)
+        y, kc2, vc2 = decode_attention_write_pallas(
+            q, kn, vn, fused_layer.pack_kv(kc), fused_layer.pack_kv(vc), posv
+        )
+        kc2 = fused_layer.unpack_kv(kc2)
         err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - y_ref.astype(jnp.float32))))
         cerr = float(jnp.max(jnp.abs(kc2.astype(jnp.float32) - kc_ref.astype(jnp.float32))))
         ok = err < 0.05 and cerr == 0.0
@@ -131,12 +136,13 @@ def main() -> None:
             "k": jnp.asarray(rng.normal(size=(B, H, S, hs)) * 0.3, jnp.bfloat16),
             "v": jnp.asarray(rng.normal(size=(B, H, S, hs)) * 0.3, jnp.bfloat16),
         }
+        kvbp = {n: fused_layer.pack_kv(c) for n, c in kvb.items()}
         xb = jnp.asarray(rng.normal(size=(B, D)) * 0.5, jnp.bfloat16)
         slot_pos = jnp.asarray(rng.integers(1, S - 1, size=B), jnp.int32)
         rope_rows = jnp.take(rope_cache, slot_pos, axis=0)[:, None]
         cos3, sin3 = _slot_rope_tables(rope_rows, fcfg)
         gotb, _ = _block_slot_fused(
-            fparams["h"][0], xb, cos3, sin3, fcfg, dict(kvb), slot_pos
+            fparams["h"][0], xb, cos3, sin3, fcfg, kvbp, slot_pos
         )
         # XLA reference: the slot_pos forward path with the fused path off
         import os as _os

@@ -233,3 +233,144 @@ def test_rope_half_row_matches_apply_rope_half(prepared):
     rolled = jnp.roll(q, hs // 2, axis=-1)
     got = q * cosf.reshape(1, 1, 1, hs) + rolled * sinf.reshape(1, 1, 1, hs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Packed bf16-pair cache (uint32 words): the layout the bf16 fused path uses
+# on chip, because this Mosaic toolchain rejects sub-32-bit dynamic-offset
+# DMAs (see ops/fused_layer.py module docstring).
+# ---------------------------------------------------------------------------
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 3, 10, 128)), jnp.bfloat16)
+    w = fused_layer.pack_kv(x)
+    assert w.shape == (2, 3, 5, 128) and w.dtype == jnp.uint32
+    np.testing.assert_array_equal(
+        np.asarray(fused_layer.unpack_kv(w), np.float32), np.asarray(x, np.float32)
+    )
+
+
+@pytest.fixture(scope="module")
+def prepared_bf16():
+    cfg = tiny_config(param_dtype="bfloat16", compute_dtype="bfloat16")
+    dense = init_params(cfg.replace(quantize=None), jax.random.PRNGKey(0))
+    qparams = llama.unstack_layers(llama.quantize_params(dense, cfg))
+    fparams, fcfg = fused_layer.prepare_fused_params(qparams, cfg)
+    return cfg, qparams, fparams, fcfg
+
+
+@pytest.mark.parametrize("pos", [0, 37, 128 + 3])
+def test_decode_layer_fused_packed_matches_xla(prepared_bf16, pos):
+    """Packed-cache fused layer vs the XLA block holding a bf16 cache: the
+    stored k/v values are IDENTICAL (same bf16 rounding, pair words unpack
+    exactly), and the layer output matches within bf16 tolerance."""
+    cfg, _, fparams, fcfg = prepared_bf16
+    D, H, hs = cfg.n_embd, cfg.n_head, cfg.head_size
+    S = 64
+    rng = np.random.default_rng(pos + 1)
+    kv = {
+        "k": jnp.asarray(rng.normal(size=(1, H, S, hs)) * 0.3, jnp.bfloat16),
+        "v": jnp.asarray(rng.normal(size=(1, H, S, hs)) * 0.3, jnp.bfloat16),
+    }
+    kvp = {n: fused_layer.pack_kv(c) for n, c in kv.items()}
+    x = jnp.asarray(rng.normal(size=(1, D)) * 0.5, jnp.bfloat16)
+    lp = fparams["h"][0]
+
+    pos_arr = jnp.int32(pos)
+    ref_out, ref_kv = _xla_block_step(lp, x, pos_arr, kv, fcfg, S)
+
+    rope_cache = build_rope_cache(fcfg.block_size, hs)
+    cosf, sinf = rope_half_row(
+        rope_cache, jnp.clip(pos_arr, 0, fcfg.block_size - 1), hs
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got_out, got_kvp = fused_layer.decode_layer_fused(
+            x, lp, kvp, cosf, sinf, pos_arr % S, pos_arr, fcfg
+        )
+
+    assert got_kvp["k"].dtype == jnp.uint32
+    wp = pos % S
+    for name in ("k", "v"):
+        got_c = np.asarray(fused_layer.unpack_kv(got_kvp[name]), np.float32)
+        ref_c = np.asarray(ref_kv[name], np.float32)
+        keep = np.arange(S) != wp
+        # untouched rows: bit-exact through the pair words
+        np.testing.assert_array_equal(got_c[:, :, keep], ref_c[:, :, keep])
+        # the written row: the kernel keeps qkv f32 through rope and rounds
+        # once; XLA rounds the matvec to bf16 first — ±1 ulp
+        np.testing.assert_allclose(
+            got_c[:, :, wp], ref_c[:, :, wp], atol=0.02, rtol=0.02
+        )
+    np.testing.assert_allclose(
+        np.asarray(got_out, np.float32),
+        np.asarray(ref_out, np.float32),
+        rtol=0.05, atol=0.05,
+    )
+
+
+def test_fused_generate_packed_long_prefix(prepared_bf16):
+    """bf16 end-to-end greedy decode through the packed fused path vs the XLA
+    loop: the fused path carries the residual stream in f32 (XLA rounds each
+    add to bf16), so a greedy near-tie can flip a late token — require a long
+    exact prefix (the f32 parity test above is exact)."""
+    from lit_llama_tpu.models import generate as gen
+
+    cfg, qparams, fparams, fcfg = prepared_bf16
+    prompt = np.asarray([5, 23, 81, 2, 40], np.int32)
+    ref = gen.generate(
+        qparams, prompt, 12, config=cfg, max_seq_length=32, temperature=0.0
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = gen.generate(
+            fparams, prompt, 12, config=fcfg, max_seq_length=32, temperature=0.0
+        )
+    prefix = 0
+    for a, b in zip(got.tolist(), ref.tolist()):
+        if a != b:
+            break
+        prefix += 1
+    assert prefix >= len(prompt) + 8, (got.tolist(), ref.tolist())
+
+
+@pytest.mark.parametrize("T", [6, 7])
+def test_packed_prefill_write_matches_bf16_cache(prepared_bf16, T):
+    """llama.forward prefill-from-zero into a packed cache stores exactly the
+    rows the bf16 cache path stores (odd prompt lengths pad the trailing
+    half-word with garbage at position T, which is invisible until the first
+    decode step overwrites it)."""
+    cfg, _, fparams, fcfg = prepared_bf16
+    S = 16
+    toks = jnp.asarray(np.arange(1, T + 1)[None], jnp.int32)
+    cache_b = llama.unstack_kv_cache(llama.init_kv_cache(fcfg, 1, S))
+    cache_p = llama.unstack_kv_cache(llama.init_kv_cache(fcfg, 1, S, packed=True))
+    logits_b, new_b = forward(
+        fparams, toks, fcfg, input_pos=jnp.arange(T), kv_cache=cache_b,
+        prefill_from_zero=True,
+    )
+    logits_p, new_p = forward(
+        fparams, toks, fcfg, input_pos=jnp.arange(T), kv_cache=cache_p,
+        prefill_from_zero=True,
+    )
+    np.testing.assert_array_equal(np.asarray(logits_p), np.asarray(logits_b))
+    for lb, lp_ in zip(new_b, new_p):
+        got = np.asarray(fused_layer.unpack_kv(lp_["k"]), np.float32)[:, :, :T]
+        np.testing.assert_array_equal(got, np.asarray(lb["k"], np.float32)[:, :, :T])
+
+
+def test_packed_cache_write_vector_rmw(prepared_bf16):
+    """The XLA per-slot fallback write (kernel off) merges each slot's bf16
+    row into the right half of its word-row without touching the neighbor."""
+    rng = np.random.default_rng(3)
+    B, H, S, hs = 3, 2, 8, 128
+    base = jnp.asarray(rng.normal(size=(B, H, S, hs)), jnp.bfloat16)
+    arr = fused_layer.pack_kv(base)
+    new = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.bfloat16)
+    pos = jnp.asarray([0, 3, 6], jnp.int32)
+    got = llama._cache_write(arr, new, pos)
+    ref = base.at[jnp.arange(B), :, pos].set(new[:, :, 0])
+    np.testing.assert_array_equal(
+        np.asarray(fused_layer.unpack_kv(got), np.float32),
+        np.asarray(ref, np.float32),
+    )

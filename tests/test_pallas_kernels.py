@@ -246,3 +246,42 @@ def test_decode_attention_write_matches_scatter_plus_xla(rng, positions):
     np.testing.assert_array_equal(np.asarray(kc2), np.asarray(kc_ref))
     np.testing.assert_array_equal(np.asarray(vc2), np.asarray(vc_ref))
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.parametrize("positions", [[0, 5, 255], [256 + 7, 3, 511 + 256]])
+def test_decode_attention_write_packed_matches_scatter_plus_xla(rng, positions):
+    """Packed bf16-pair cache (uint32 words — the on-chip serving layout, see
+    ops/fused_layer.py): fused write+attention vs scatter + masked einsum on
+    the equivalent bf16 cache. Cache updates are bit-exact through the pair
+    words; outputs match within bf16 attention tolerance."""
+    from lit_llama_tpu.ops.decode_attention import decode_attention_write_pallas
+    from lit_llama_tpu.ops.fused_layer import pack_kv, unpack_kv
+
+    B, H, S, hs = len(positions), 4, 256, 128
+    q = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.bfloat16)
+    knew = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.bfloat16)
+    vnew = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.bfloat16)
+    kc = jnp.asarray(rng.normal(size=(B, H, S, hs)), jnp.bfloat16)
+    vc = jnp.asarray(rng.normal(size=(B, H, S, hs)), jnp.bfloat16)
+    pos = jnp.asarray(positions, jnp.int32)
+
+    wp = pos % S
+    kc_ref = kc.at[jnp.arange(B), :, wp].set(knew[:, :, 0])
+    vc_ref = vc.at[jnp.arange(B), :, wp].set(vnew[:, :, 0])
+    mask = (jnp.arange(S)[None, :] <= pos[:, None])[:, None, None, :]
+    y_ref = attention_xla(q, kc_ref, vc_ref, mask)
+
+    y, kc2, vc2 = decode_attention_write_pallas(
+        q, knew, vnew, pack_kv(kc), pack_kv(vc), pos, interpret=True
+    )
+    assert kc2.dtype == jnp.uint32
+    np.testing.assert_array_equal(
+        np.asarray(unpack_kv(kc2), np.float32), np.asarray(kc_ref, np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unpack_kv(vc2), np.float32), np.asarray(vc_ref, np.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(y_ref, np.float32),
+        atol=0.02, rtol=0.02,
+    )
