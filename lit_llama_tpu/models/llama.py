@@ -690,7 +690,10 @@ def forward(
                     or (kv_entry["k"].dtype == compute_dtype == jnp.float32
                         and (S_c <= 512 or S_c % 128 == 0))
                 )
-                serve_fused = fl.use_serve_fused(config, layer_params[0]) and cache_ok
+                serve_fused = (
+                    fl.use_serve_fused(config, layer_params[0], batch=x.shape[0])
+                    and cache_ok
+                )
             if serve_fused:
                 # batched fused decode: 3 launches per block, no XLA glue
                 cos3, sin3 = _slot_rope_tables(rope, config)

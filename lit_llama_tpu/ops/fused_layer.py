@@ -778,13 +778,31 @@ def block_tail_fused(x, y, rms2, cp, f12, mp, *, B, D, I, gs, cdtype,
     )
 
 
-def use_serve_fused(config, layer_params) -> bool:
-    """Dispatch for the batched block-half kernels (slot_pos decode)."""
+# Measured on-chip crossover (TPU v5e, 7B int4, S=256, mixed prompts):
+# the batched block-half kernels win 448 vs 386 tok/s at 8 slots but lose
+# 570 vs 602 at 32 — at large B the kernels' VPU multiply-reduce attention
+# and per-group unpack loops fall behind XLA's MXU einsum scheduling, while
+# at small B the launch/glue overhead they remove dominates. Dispatch flips
+# to the XLA path above this slot count (override to re-measure).
+SERVE_KERNEL_MAX_B = 16
+
+
+def use_serve_fused(config, layer_params, batch: int | None = None) -> bool:
+    """Dispatch for the batched block-half kernels (slot_pos decode).
+
+    ``batch``: decode slot count when known (engine init); the measured
+    crossover SERVE_KERNEL_MAX_B gates large batches onto the XLA path.
+    """
     import os
 
     if os.environ.get("LIT_LLAMA_TPU_SERVE_KERNEL", "1") == "0":
         return False
     if os.environ.get("LIT_LLAMA_TPU_NO_PALLAS"):
+        return False
+    max_b = int(
+        os.environ.get("LIT_LLAMA_TPU_SERVE_KERNEL_MAX_B", SERVE_KERNEL_MAX_B)
+    )
+    if batch is not None and batch > max_b:
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False

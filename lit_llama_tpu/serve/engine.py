@@ -202,7 +202,9 @@ class DecodeEngine:
                 from lit_llama_tpu.ops.fused_layer import use_serve_fused
 
                 h = self.params.get("h")
-                if isinstance(h, (list, tuple)) and use_serve_fused(config, h[0]):
+                if isinstance(h, (list, tuple)) and use_serve_fused(
+                    config, h[0], batch=self.B
+                ):
                     if self.S % 16:
                         # pair words hold two positions, and the kernel's
                         # strided cache DMAs need 8-aligned word-row counts

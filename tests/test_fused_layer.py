@@ -168,7 +168,7 @@ def test_engine_batched_fused_kernels_match(prepared, monkeypatch):
     monkeypatch.setattr(
         fl,
         "use_serve_fused",
-        lambda config, lp: config.rope_layout == "half"
+        lambda config, lp, batch=None: config.rope_layout == "half"
         and "qzero" in lp["attn"]["c_attn"]
         and "c_fc12" in lp["mlp"],
     )
@@ -200,7 +200,7 @@ def test_engine_batched_fused_long_generation(prepared, monkeypatch):
     monkeypatch.setattr(
         fl,
         "use_serve_fused",
-        lambda config, lp: config.rope_layout == "half"
+        lambda config, lp, batch=None: config.rope_layout == "half"
         and "qzero" in lp["attn"]["c_attn"],
     )
     S = 16
@@ -374,3 +374,26 @@ def test_packed_cache_write_vector_rmw(prepared_bf16):
         np.asarray(fused_layer.unpack_kv(got), np.float32),
         np.asarray(ref, np.float32),
     )
+
+
+def test_use_serve_fused_batch_threshold(prepared_bf16, monkeypatch):
+    """Batched-kernel dispatch honors the measured slot-count crossover:
+    above SERVE_KERNEL_MAX_B (XLA's MXU einsum wins on chip) the fused
+    path must decline, at/below it the other predicates decide."""
+    _, _, fparams, fcfg = prepared_bf16
+    lp = fparams["h"][0]
+    monkeypatch.setattr(
+        "jax._src.xla_bridge.default_backend", lambda *a, **k: "tpu",
+        raising=False,
+    )
+    monkeypatch.setattr(fused_layer.jax, "default_backend", lambda: "tpu")
+    assert fused_layer.use_serve_fused(fcfg, lp, batch=8)
+    assert fused_layer.use_serve_fused(fcfg, lp, batch=fused_layer.SERVE_KERNEL_MAX_B)
+    assert not fused_layer.use_serve_fused(
+        fcfg, lp, batch=fused_layer.SERVE_KERNEL_MAX_B + 1
+    )
+    monkeypatch.setenv("LIT_LLAMA_TPU_SERVE_KERNEL_MAX_B", "64")
+    assert fused_layer.use_serve_fused(fcfg, lp, batch=32)
+    # batch unknown (single-stream / direct kernel callers): unaffected
+    monkeypatch.delenv("LIT_LLAMA_TPU_SERVE_KERNEL_MAX_B")
+    assert fused_layer.use_serve_fused(fcfg, lp)
