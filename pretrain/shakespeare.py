@@ -38,6 +38,7 @@ def main(
     n_head: int = None,
     resume: Path = None,
     remat_policy: str = "dots",
+    adam_state_dtype: str = "",
 ) -> None:
     """Pretrain a LLaMA model on tiny-shakespeare.
 
@@ -60,6 +61,8 @@ def main(
         n_embd: Override width.
         n_head: Override head count.
         resume: Resume from a native checkpoint directory (restores optimizer + step).
+        adam_state_dtype: '' (float32) or 'bfloat16' — low-precision Adam
+            moments (halves optimizer-state HBM traffic and footprint).
         remat_policy: 'dots' (save matmul outputs) or 'full' (recompute all;
             fits larger micro-batches — the 0.44B config needs it).
     """
@@ -88,7 +91,8 @@ def main(
 
     mesh = mesh_lib.make_mesh(data=data_parallel, model=model_parallel)
     tc = step_lib.TrainConfig(
-        learning_rate=learning_rate, warmup_iters=0, max_iters=max_iters, decay_lr=False
+        learning_rate=learning_rate, warmup_iters=0, max_iters=max_iters,
+        decay_lr=False, adam_state_dtype=adam_state_dtype or None,
     )
     optimizer = step_lib.make_optimizer(tc)
 
