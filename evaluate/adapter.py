@@ -23,6 +23,7 @@ def main(
     adapter_path: Path = Path("out/adapter/alpaca/lit-llama-adapter-finetuned"),
     checkpoint_path: Path = Path("checkpoints/lit-llama/7B/lit-llama.pth"),
     tokenizer_path: Path = Path("checkpoints/lit-llama/tokenizer.model"),
+    quantize: Optional[str] = None,
     block_size: int = 2048,
     max_windows: Optional[int] = None,
     data_file: Optional[Path] = None,
@@ -34,6 +35,8 @@ def main(
         adapter_path: Adapter checkpoint directory (from finetune/adapter.py).
         checkpoint_path: The base model checkpoint (.pth or native dir).
         tokenizer_path: The tokenizer path to load.
+        quantize: Quantize the BASE weights at load: "llm.int8" or
+            "gptq.int4" (the adapter weights stays dense, applied on top).
         block_size: Window length (reference: 2048).
         max_windows: Cap the number of windows (quick checks).
         data_file: Local text (or pre-tokenized .bin) file instead of downloading.
@@ -47,7 +50,7 @@ def main(
     from lit_llama_tpu.utils import checkpoint as ckpt
     from lit_llama_tpu.utils.loader import load_model
 
-    params, config = load_model(Path(checkpoint_path))
+    params, config = load_model(Path(checkpoint_path), quantize)
     config = config.replace(adapter=AdapterConfig(v2=ADAPTER_V2))
     params = adapter_mod.add_adapter_params(params, config)
     tree = ckpt.load_checkpoint(Path(adapter_path), transform=lambda n, a: jnp.asarray(a))

@@ -22,6 +22,7 @@ def main(
     adapter_path: Path = Path("out/adapter_v2/alpaca/lit-llama-adapter-v2-finetuned"),
     checkpoint_path: Path = Path("checkpoints/lit-llama/7B/lit-llama.pth"),
     tokenizer_path: Path = Path("checkpoints/lit-llama/tokenizer.model"),
+    quantize: Optional[str] = None,
     block_size: int = 2048,
     max_windows: Optional[int] = None,
     data_file: Optional[Path] = None,
@@ -33,6 +34,8 @@ def main(
         adapter_path: Adapter v2 checkpoint directory (from finetune/adapter_v2.py).
         checkpoint_path: The base model checkpoint (.pth or native dir).
         tokenizer_path: The tokenizer path to load.
+        quantize: Quantize the BASE weights at load: "llm.int8" or
+            "gptq.int4" (the adapter weights stay dense, applied on top).
         block_size: Window length (reference: 2048).
         max_windows: Cap the number of windows (quick checks).
         data_file: Local text (or pre-tokenized .bin) file instead of downloading.
@@ -42,6 +45,7 @@ def main(
         adapter_path=adapter_path,
         checkpoint_path=checkpoint_path,
         tokenizer_path=tokenizer_path,
+        quantize=quantize,
         block_size=block_size,
         max_windows=max_windows,
         data_file=data_file,

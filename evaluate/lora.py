@@ -23,6 +23,7 @@ def main(
     checkpoint_path: Path = Path("checkpoints/lit-llama/7B/lit-llama.pth"),
     tokenizer_path: Path = Path("checkpoints/lit-llama/tokenizer.model"),
     lora_alpha: float = 16.0,
+    quantize: Optional[str] = None,
     block_size: int = 2048,
     max_windows: Optional[int] = None,
     data_file: Optional[Path] = None,
@@ -35,6 +36,8 @@ def main(
         checkpoint_path: The base model checkpoint (.pth or native dir).
         tokenizer_path: The tokenizer path to load.
         lora_alpha: LoRA alpha used at finetune time.
+        quantize: Quantize the BASE weights at load: "llm.int8" or
+            "gptq.int4" (the LoRA update stays dense, applied on top).
         block_size: Window length (reference: 2048).
         max_windows: Cap the number of windows (quick checks).
         data_file: Local text (or pre-tokenized .bin) file instead of downloading.
@@ -48,7 +51,7 @@ def main(
     from lit_llama_tpu.utils import checkpoint as ckpt
     from lit_llama_tpu.utils.loader import load_model
 
-    params, config = load_model(Path(checkpoint_path))
+    params, config = load_model(Path(checkpoint_path), quantize)
     tree = ckpt.load_checkpoint(Path(lora_path), transform=lambda n, a: jnp.asarray(a))
     lora_params = tree["params"] if "params" in tree else tree
     r = int(lora_params["h"]["attn"]["c_attn"]["lora_b"].shape[-2])

@@ -4,6 +4,7 @@
 import sys
 import time
 from pathlib import Path
+from typing import Optional
 
 wd = Path(__file__).parent.parent.resolve()
 sys.path.insert(0, str(wd))
@@ -19,6 +20,7 @@ def main(
     adapter_path: Path = Path("out/adapter/alpaca/lit-llama-adapter-finetuned"),
     checkpoint_path: Path = Path("checkpoints/lit-llama/7B/lit-llama.pth"),
     tokenizer_path: Path = Path("checkpoints/lit-llama/tokenizer.model"),
+    quantize: Optional[str] = None,
     max_new_tokens: int = 100,
     top_k: int = 200,
     temperature: float = 0.8,
@@ -32,6 +34,9 @@ def main(
         adapter_path: Adapter checkpoint directory (from finetune/adapter.py).
         checkpoint_path: The base model checkpoint (.pth or native dir).
         tokenizer_path: The tokenizer path to load.
+        quantize: Quantize the BASE weights at load: "llm.int8" or "gptq.int4"
+            (round-to-nearest; pass a quantize/gptq.py output dir for true
+            GPTQ). The adapter weights stay dense and apply on top.
         max_new_tokens: The number of generation steps to take.
         top_k: The number of top most probable tokens to consider in the sampling process.
         temperature: A value controlling the randomness of the sampling process.
@@ -44,7 +49,7 @@ def main(
     from lit_llama_tpu.peft import adapter as adapter_mod
     from lit_llama_tpu.utils.loader import load_model, load_peft_checkpoint
 
-    params, config = load_model(Path(checkpoint_path))
+    params, config = load_model(Path(checkpoint_path), quantize)
     # native dir from finetune/adapter*.py OR a reference-format .pth adapter
     # state dict (incl. old scalar-gate checkpoints, reference adapter.py:176-190)
     kind, state, info = load_peft_checkpoint(Path(adapter_path), config)

@@ -10,6 +10,7 @@ module (the reference has the same layout).
 import importlib.util
 import sys
 from pathlib import Path
+from typing import Optional
 
 wd = Path(__file__).parent.parent.resolve()
 sys.path.insert(0, str(wd))
@@ -28,6 +29,7 @@ def main(
     adapter_path: Path = Path("out/adapter_v2/alpaca/lit-llama-adapter-v2-finetuned"),
     checkpoint_path: Path = Path("checkpoints/lit-llama/7B/lit-llama.pth"),
     tokenizer_path: Path = Path("checkpoints/lit-llama/tokenizer.model"),
+    quantize: Optional[str] = None,
     max_new_tokens: int = 100,
     top_k: int = 200,
     temperature: float = 0.8,
@@ -41,6 +43,8 @@ def main(
         adapter_path: Adapter v2 checkpoint directory (from finetune/adapter_v2.py).
         checkpoint_path: The base model checkpoint (.pth or native dir).
         tokenizer_path: The tokenizer path to load.
+        quantize: Quantize the BASE weights at load: "llm.int8" or
+            "gptq.int4" (the adapter weights stay dense, applied on top).
         max_new_tokens: The number of generation steps to take.
         top_k: The number of top most probable tokens to consider in the sampling process.
         temperature: A value controlling the randomness of the sampling process.
@@ -52,6 +56,7 @@ def main(
         adapter_path=adapter_path,
         checkpoint_path=checkpoint_path,
         tokenizer_path=tokenizer_path,
+        quantize=quantize,
         max_new_tokens=max_new_tokens,
         top_k=top_k,
         temperature=temperature,

@@ -19,6 +19,7 @@ def main(
     checkpoint_path: Path = Path("checkpoints/lit-llama/7B/lit-llama.pth"),
     tokenizer_path: Path = Path("checkpoints/lit-llama/tokenizer.model"),
     lora_alpha: float = 16.0,
+    quantize: Optional[str] = None,
     max_new_tokens: int = 100,
     top_k: int = 200,
     temperature: float = 0.8,
@@ -33,6 +34,10 @@ def main(
         checkpoint_path: The base model checkpoint (.pth or native dir).
         tokenizer_path: The tokenizer path to load.
         lora_alpha: LoRA alpha used at finetune time (rank is inferred from the weights).
+        quantize: Quantize the BASE weights at load: "llm.int8" or "gptq.int4"
+            (round-to-nearest; pass a quantize/gptq.py output dir for true
+            GPTQ). The LoRA update stays dense and applies on top — the
+            reference declines this combination (generate/lora.py:61-62).
         max_new_tokens: The number of generation steps to take.
         top_k: The number of top most probable tokens to consider in the sampling process.
         temperature: A value controlling the randomness of the sampling process.
@@ -45,7 +50,7 @@ def main(
     from lit_llama_tpu.peft import lora as lora_mod
     from lit_llama_tpu.utils.loader import load_model, load_peft_checkpoint
 
-    params, config = load_model(Path(checkpoint_path))
+    params, config = load_model(Path(checkpoint_path), quantize)
     # native dir from finetune/lora.py OR a reference-format .pth adapter
     # (rank inferred from the weights, reference: convert_lora_weights.py:28-32)
     kind, lora_params, info = load_peft_checkpoint(Path(lora_path), config)
@@ -54,8 +59,10 @@ def main(
     config = config.replace(lora=LoRAConfig(r=info["r"], alpha=lora_alpha, dropout=0.0))
     params = lora_mod.load_lora_state(params, lora_params)
     from lit_llama_tpu.models.llama import unstack_layers
+    from lit_llama_tpu.ops.fused_layer import maybe_prepare_fused
 
     params = unstack_layers(params)
+    params, config = maybe_prepare_fused(params, config)
 
     tokenizer = Tokenizer(tokenizer_path)
     full_prompt = sft.generate_prompt({"instruction": prompt, "input": input})

@@ -61,6 +61,18 @@ def load_model(
             checkpoint_path, transform=lambda name, a: jnp.asarray(a)
         )
         params = tree["params"] if "params" in tree else tree
+        if quantize is not None:
+            mode = {"llm.int8": "int8", "gptq.int4": "int4"}.get(quantize, quantize)
+            if config.quantize is None:
+                # dense native checkpoint (e.g. from finetune/full.py):
+                # round-to-nearest quantize at load, same as the .pth path
+                config = _clamp_groupsize(config.replace(quantize=mode))
+                params = llama.quantize_params(params, config)
+            elif config.quantize != mode:
+                raise ValueError(
+                    f"{checkpoint_path} is already quantized as {config.quantize};"
+                    f" cannot re-quantize to {mode}"
+                )
         return params, config
 
     sd = load_pth(checkpoint_path)
@@ -80,8 +92,25 @@ def load_model(
         config = config.replace(quantize=mode)
     params = convert.lit_to_pytree(sd, config, dtype=dtype)
     if config.quantize is not None:
+        config = _clamp_groupsize(config)
         params = llama.quantize_params(params, config)
     return params, config
+
+
+def _clamp_groupsize(config: LLaMAConfig) -> LLaMAConfig:
+    """Largest legal int4 group size <= the configured one: every quantized
+    linear's input width (n_embd, intermediate_size) must be divisible by
+    2*groupsize (half-split nibble planes, ops/linear.pack_int4). Small test
+    models (n_embd 64) can't take the 7B default of 128."""
+    if config.quantize != "int4":
+        return config
+    widths = (config.n_embd, config.intermediate_size)
+    gs = config.quant_groupsize
+    while gs > 1 and any(w % (2 * gs) for w in widths):
+        gs //= 2
+    if gs != config.quant_groupsize:
+        config = config.replace(quant_groupsize=gs)
+    return config
 
 
 def load_peft_checkpoint(
@@ -109,8 +138,13 @@ def load_peft_checkpoint(
             r = int(h["attn"]["c_attn"]["lora_b"].shape[-2])
             return "lora", overlay, {"r": r}
         if "adapter_wte" in h:
-            active = jnp.asarray(h["adapter_active"][:, 0])
-            start_layer = int(jnp.argmax(active)) if bool(active.any()) else 0
+            if "adapter_active" in h:
+                active = jnp.asarray(h["adapter_active"][:, 0])
+                start_layer = int(jnp.argmax(active)) if bool(active.any()) else 0
+            else:
+                # finetune/adapter*.py save only trainables; adapter_active is
+                # a derived constant (reference default: adapt every layer)
+                start_layer = 0
             is_v2 = "av2_bias" in h.get("attn", {}).get("c_attn", {})
             return "adapter", overlay, {
                 "prompt_length": int(h["adapter_wte"].shape[1]),

@@ -86,6 +86,20 @@ def test_prepare_and_lora_finetune_and_generate(workdir):
         ]
     )
     assert proc.stdout.strip()
+    # BASELINE config #4: the same LoRA overlay on a QUANTIZED base (the
+    # reference refuses this combination, reference generate/lora.py:61-62)
+    proc = run_cli(
+        [
+            "generate/lora.py",
+            "--prompt", "the quick",
+            "--lora_path", str(d / "lora/lit-llama-lora-finetuned"),
+            "--checkpoint_path", str(d / "ckpt/lit-llama.pth"),
+            "--tokenizer_path", str(d / "ckpt/tokenizer.model"),
+            "--max_new_tokens", "5",
+            "--quantize", "gptq.int4",
+        ]
+    )
+    assert proc.stdout.strip()
 
 
 def test_gptq_quantize_then_eval_and_generate(workdir):
@@ -117,3 +131,38 @@ def test_gptq_quantize_then_eval_and_generate(workdir):
     assert "perplexity:" in proc.stdout
     ppl = float(proc.stdout.split("perplexity:")[1].strip())
     assert np.isfinite(ppl) and ppl > 1.0
+
+
+def test_adapter_v2_finetune_then_quantized_generate(workdir):
+    """finetune/adapter_v2.py output loads back into generate/adapter_v2.py
+    (the save filter keeps trainables only — no adapter_active in the file)
+    and composes with a quantized base (BASELINE config #4)."""
+    d = workdir
+    run_cli(
+        [
+            "finetune/adapter_v2.py",
+            "--data_dir", str(d / "data"),
+            "--checkpoint_path", str(d / "ckpt/lit-llama.pth"),
+            "--tokenizer_path", str(d / "ckpt/tokenizer.model"),
+            "--out_dir", str(d / "av2"),
+            "--max_iters", "2",
+            "--batch_size", "4",
+            "--micro_batch_size", "2",
+            "--eval_interval", "1000",
+            "--save_interval", "1000",
+            "--warmup_iters", "1",
+            "--max_seq_length", "64",
+        ]
+    )
+    proc = run_cli(
+        [
+            "generate/adapter_v2.py",
+            "--prompt", "the quick",
+            "--adapter_path", str(d / "av2/lit-llama-adapter-v2-finetuned"),
+            "--checkpoint_path", str(d / "ckpt/lit-llama.pth"),
+            "--tokenizer_path", str(d / "ckpt/tokenizer.model"),
+            "--max_new_tokens", "5",
+            "--quantize", "llm.int8",
+        ]
+    )
+    assert proc.stdout.strip()

@@ -384,3 +384,109 @@ def test_ref_adapter_v2_pth_ingestion(cfg, tmp_path):
     # the v2 scales/biases actually alter the output
     base, _ = forward(init_params(acfg, jax.random.PRNGKey(0)), tokens(), acfg)
     assert np.abs(np.asarray(logits) - np.asarray(base)).max() > 1e-5
+
+
+# ---------------------------------------------------------------------------
+# PEFT on QUANTIZED base weights (BASELINE config #4). The reference declines
+# this combination ("quantization is currently not supported",
+# reference generate/lora.py:61-62); here the dense low-rank/adapter overlay
+# composes with int4/int8 base linears (models/llama.py lora_delta after
+# linear; ops/linear.py av2 scale/bias after any quantized matmul).
+# ---------------------------------------------------------------------------
+
+
+def _dequantize_tree(params):
+    """Replace every quantized linear {qw, qscale[, qzero]} with the dense
+    weight it decodes to, preserving PEFT leaves — the exact-parity reference
+    for quantized-base forwards."""
+    from lit_llama_tpu.ops.linear import dequantize_int4, dequantize_int8
+
+    def visit(d):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                if "qzero" in v:
+                    dq = (
+                        jax.vmap(lambda a: dequantize_int4(a))(v)
+                        if v["qw"].ndim == 3
+                        else dequantize_int4(v)
+                    )
+                    out[k] = {"w": dq, **{n: a for n, a in v.items() if n[0] != "q"}}
+                elif "qw" in v:
+                    dq = (
+                        jax.vmap(lambda a: dequantize_int8(a))(v)
+                        if v["qw"].ndim == 3
+                        else dequantize_int8(v)
+                    )
+                    out[k] = {"w": dq, **{n: a for n, a in v.items() if n[0] != "q"}}
+                else:
+                    out[k] = visit(v)
+            else:
+                out[k] = v
+        return out
+
+    return visit(params)
+
+
+def test_lora_on_int4_base_matches_dequantized_dense(cfg):
+    from lit_llama_tpu.models import llama
+
+    lcfg = cfg.replace(lora=LoRAConfig(r=4, alpha=8.0, dropout=0.0), quant_groupsize=16)
+    params = init_params(lcfg, jax.random.PRNGKey(0))
+    params["h"]["attn"]["c_attn"]["lora_b"] = (
+        jax.random.normal(jax.random.PRNGKey(3), params["h"]["attn"]["c_attn"]["lora_b"].shape)
+        * 0.1
+    )
+    qcfg = lcfg.replace(quantize="int4")
+    qparams = llama.quantize_params(params, qcfg)
+    assert "lora_a" in qparams["h"]["attn"]["c_attn"]  # overlay survives quantization
+    got, _ = forward(qparams, tokens(), qcfg)
+    ref, _ = forward(_dequantize_tree(qparams), tokens(), lcfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4)
+    # and the update is live: zeroing lora_b changes the logits
+    zeroed = jax.tree_util.tree_map(lambda a: a, qparams)
+    zeroed["h"]["attn"]["c_attn"]["lora_b"] = jnp.zeros_like(
+        qparams["h"]["attn"]["c_attn"]["lora_b"]
+    )
+    base, _ = forward(zeroed, tokens(), qcfg)
+    assert np.abs(np.asarray(got) - np.asarray(base)).max() > 1e-4
+
+
+def test_adapter_v2_on_int8_base_matches_dequantized_dense(cfg):
+    from lit_llama_tpu.models import llama
+
+    acfg = cfg.replace(adapter=AdapterConfig(v2=True, prompt_length=4, start_layer=0))
+    params = init_params(acfg, jax.random.PRNGKey(0))
+    # non-trivial adapter state: gates, biases and scales all move
+    params["h"]["gating"] = jnp.full_like(params["h"]["gating"], 0.3)
+    c_attn = params["h"]["attn"]["c_attn"]
+    c_attn["av2_bias"] = jax.random.normal(jax.random.PRNGKey(5), c_attn["av2_bias"].shape) * 0.05
+    c_attn["av2_scale"] = 1.0 + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(6), c_attn["av2_scale"].shape
+    )
+    qcfg = acfg.replace(quantize="int8")
+    qparams = llama.quantize_params(params, qcfg)
+    got, _ = forward(qparams, tokens(), qcfg)
+    ref, _ = forward(_dequantize_tree(qparams), tokens(), acfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+
+def test_lora_on_gptq_int4_decode_generate(cfg):
+    """KV-cache decode (models/generate.py) through a quantized base + LoRA:
+    greedy generate equals the dequantized-dense greedy generate."""
+    from lit_llama_tpu.models import llama
+    from lit_llama_tpu.models.generate import generate
+
+    lcfg = cfg.replace(lora=LoRAConfig(r=4, alpha=8.0, dropout=0.0), quant_groupsize=16)
+    params = init_params(lcfg, jax.random.PRNGKey(1))
+    params["h"]["attn"]["c_attn"]["lora_b"] = (
+        jax.random.normal(jax.random.PRNGKey(7), params["h"]["attn"]["c_attn"]["lora_b"].shape)
+        * 0.1
+    )
+    qcfg = lcfg.replace(quantize="int4")
+    qparams = llama.unstack_layers(llama.quantize_params(params, qcfg))
+    dparams = llama.unstack_layers(_dequantize_tree(llama.quantize_params(params, qcfg)))
+    prompt = np.arange(5, dtype=np.int32) % cfg.vocab_size
+    got = generate(qparams, prompt, 8, config=qcfg, temperature=0.0)
+    ref = generate(dparams, prompt, 8, config=lcfg, temperature=0.0)
+    np.testing.assert_array_equal(got, ref)
