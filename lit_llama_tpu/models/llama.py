@@ -469,7 +469,7 @@ def _block_slot_fused(
     q4 = q.reshape(B, H, 1, hs)
     k4 = k.reshape(B, H, 1, hs)
     v4 = v.reshape(B, H, 1, hs)
-    y, nk, nv = da.decode_attention_write_pallas(q4, k4, v4, kv["k"], kv["v"], limit)
+    y, nk, nv = da.decode_attention_write(q4, k4, v4, kv["k"], kv["v"], limit)
     x2d = fl.block_tail_fused(
         x2d, y.reshape(B, D), lp["rms_2"], lp["attn"]["c_proj"],
         lp["mlp"]["c_fc12"], lp["mlp"]["c_proj"],
@@ -690,9 +690,13 @@ def forward(
                     or (kv_entry["k"].dtype == compute_dtype == jnp.float32
                         and (S_c <= 512 or S_c % 128 == 0))
                 )
-                serve_fused = (
-                    fl.use_serve_fused(config, layer_params[0], batch=x.shape[0])
-                    and cache_ok
+                # a PACKED (uint32) cache can only be consumed by the fused
+                # kernels — the engine chose the layout at init, so the
+                # layout decides the path here (re-reading the env between
+                # init and trace could otherwise disagree with it)
+                serve_fused = cache_ok and (
+                    packed_c
+                    or fl.use_serve_fused(config, layer_params[0], batch=x.shape[0])
                 )
             if serve_fused:
                 # batched fused decode: 3 launches per block, no XLA glue

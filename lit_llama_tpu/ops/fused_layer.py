@@ -109,6 +109,20 @@ def _rms_norm_rows(x, w_ref, eps=1e-5):
     return x * jax.lax.rsqrt(ss + eps) * w_ref[:].astype(jnp.float32)
 
 
+def _add_lora_delta(src_ref, dst_ref, la_ref, lb_ref):
+    """dst += (src @ la) @ lb — the folded low-rank QKV update (two small MXU
+    dots; la (D, R8), lb (R8, 3D) from prepare_lora_operands). ~R8/K of the
+    base matvec's FLOPs and <1% of its weight bytes at 7B rank 8."""
+    ax = jax.lax.dot_general(
+        src_ref[:], la_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dst_ref[:] = dst_ref[:] + jax.lax.dot_general(
+        ax, lb_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def blocked_scales(qs: jnp.ndarray, K: int, N: int, gs: int) -> jnp.ndarray:
     """Host-side relayout of a (G, N) scale/zero plane into the kernel's DMA
     unit: (NB, G8, bn) with bn = _pick_bn(N, K) and G8 = G rounded up to 8.
@@ -339,16 +353,26 @@ def _layer_kernel(
     wp_ref, limit_ref,
     # small VMEM operands
     x_ref, rms1_ref, rms2_ref, cos_ref, sin_ref,
-    # HBM weight planes
-    ca_qw, ca_qs, ca_qz, cp_qw, cp_qs, cp_qz,
-    f12_qw, f12_qs, f12_qz, mp_qw, mp_qs, mp_qz,
-    kc_in, vc_in,
-    # outputs
-    xo_ref, kc_out, vc_out,
-    # persistent scratch
-    xs, h, qkv, fg, gg, q3, knew, vnew,
-    *, D, I, H, S, hs, gs, bn_ca, bn_cp, bn_f12, bn_mp, bs, packed, cdtype,
+    # HBM weight planes (preceded by the two dense LoRA VMEM operands when
+    # lora=True: la (D, R8), lb (R8, 3D) — see prepare_lora_operands)
+    *refs,
+    D, I, H, S, hs, gs, bn_ca, bn_cp, bn_f12, bn_mp, bs, packed, cdtype,
+    lora=False,
 ):
+    if lora:
+        la_ref, lb_ref = refs[0], refs[1]
+        refs = refs[2:]
+    else:
+        la_ref = lb_ref = None
+    (
+        ca_qw, ca_qs, ca_qz, cp_qw, cp_qs, cp_qz,
+        f12_qw, f12_qs, f12_qz, mp_qw, mp_qs, mp_qz,
+        kc_in, vc_in,
+        # outputs
+        xo_ref, kc_out, vc_out,
+        # persistent scratch
+        xs, h, qkv, fg, gg, q3, knew, vnew,
+    ) = refs
     wp = wp_ref[0]
     limit = limit_ref[0]
 
@@ -360,6 +384,8 @@ def _layer_kernel(
     h[:] = _rms_norm_rows(xs[:], rms1_ref)
     _mv_int4(h, qkv, ca_qw, ca_qs, ca_qz, K=D, N=3 * D, gs=gs, bn=bn_ca,
              cdtype=cdtype)
+    if lora:
+        _add_lora_delta(h, qkv, la_ref, lb_ref)
 
     # per-head extraction (lane-aligned (1, hs) copies; no cross-lane reshape)
     rot = pltpu.roll  # pairs (i, i+hs/2) rotate within one lane row
@@ -497,6 +523,7 @@ def _call_layer(
     *, D, I, H, S, hs, gs, cdtype, interpret=False,
 ):
     packed = kc.dtype == jnp.uint32
+    lora = "la" in weights
     bn_ca = _pick_bn(3 * D, D)
     bn_cp = _pick_bn(D, D)
     bn_f12 = _pick_bn(2 * I, D)
@@ -505,7 +532,7 @@ def _call_layer(
     kernel = functools.partial(
         _layer_kernel, D=D, I=I, H=H, S=S, hs=hs, gs=gs,
         bn_ca=bn_ca, bn_cp=bn_cp, bn_f12=bn_f12, bn_mp=bn_mp, bs=bs,
-        packed=packed, cdtype=jnp.dtype(cdtype),
+        packed=packed, cdtype=jnp.dtype(cdtype), lora=lora,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -516,6 +543,9 @@ def _call_layer(
         if packed
         else (pltpu.VMEM((H, 1, hs), kc.dtype),) * 2
     )
+    lora_ops = (weights["la"], weights["lb"]) if lora else ()
+    n_small = 7 + len(lora_ops)  # operands ahead of the HBM weight planes
+    R8 = weights["la"].shape[-1] if lora else 0
     out = pl.pallas_call(
         kernel,
         out_shape=(
@@ -523,11 +553,12 @@ def _call_layer(
             jax.ShapeDtypeStruct(kc.shape, kc.dtype),
             jax.ShapeDtypeStruct(vc.shape, vc.dtype),
         ),
-        in_specs=[smem, smem, vmem, vmem, vmem, vmem, vmem]
+        in_specs=[smem, smem] + [vmem] * (n_small - 2)
         + [hbm] * 12
         + [hbm, hbm],
         out_specs=(vmem, hbm, hbm),
-        input_output_aliases={19: 1, 20: 2},  # kc, vc update in place
+        # kc, vc update in place
+        input_output_aliases={n_small + 12: 1, n_small + 13: 2},
         scratch_shapes=[
             pltpu.VMEM((8, D), jnp.float32),       # xs
             pltpu.VMEM((8, D), jnp.float32),       # h (normed vec / attn out)
@@ -539,14 +570,15 @@ def _call_layer(
             new_shape[1],                          # vnew
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * (4 * D * D + 3 * D * I) + 4 * H * S * hs,
+            flops=2 * (4 * D * D + 3 * D * I) + 4 * H * S * hs
+            + (2 * R8 * (D + 3 * D) if lora else 0),
             bytes_accessed=kbytes + 2 * H * S * hs * 2,
             transcendentals=H * S + 2 * I,
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
-        wp, limit, x, rms1, rms2, cosf, sinf,
+        wp, limit, x, rms1, rms2, cosf, sinf, *lora_ops,
         weights["ca_qw"], weights["ca_qs"], weights["ca_qz"],
         weights["cp_qw"], weights["cp_qs"], weights["cp_qz"],
         weights["f12_qw"], weights["f12_qs"], weights["f12_qz"],
@@ -583,6 +615,9 @@ def decode_layer_fused(
         "f12_qw": lp["mlp"]["c_fc12"]["qw"], "f12_qs": f12_s, "f12_qz": f12_z,
         "mp_qw": lp["mlp"]["c_proj"]["qw"], "mp_qs": mp_s, "mp_qz": mp_z,
     }
+    if "lora_af" in lp["attn"]["c_attn"]:
+        weights["la"] = lp["attn"]["c_attn"]["lora_af"]
+        weights["lb"] = lp["attn"]["c_attn"]["lora_bf"]
     xo, kc, vc = _call_layer(
         jnp.asarray(write_pos, jnp.int32).reshape(1),
         jnp.asarray(limit, jnp.int32).reshape(1),
@@ -662,15 +697,21 @@ def _rot_half_lanes(x, cos3, sin3, head_mask):
 
 
 def _block_head_kernel(
-    x_ref, rms1_ref, cos3_ref, sin3_ref, qw, qs, qz, o_ref, xs, qkv,
-    *, B, D, gs, bn, cdtype,
+    x_ref, rms1_ref, cos3_ref, sin3_ref, *refs,
+    B, D, gs, bn, cdtype, lora=False,
 ):
-    """rms_1 + int4 QKV matvec + RoPE (half basis) for B slots: (B, D) ->
-    rotated fused-QKV (B, 3D). cos3/sin3 are per-slot lane tables over the
-    full 3D width (ones/zeros on the v section)."""
+    """rms_1 + int4 QKV matvec (+ LoRA low-rank update) + RoPE (half basis)
+    for B slots: (B, D) -> rotated fused-QKV (B, 3D). cos3/sin3 are per-slot
+    lane tables over the full 3D width (ones/zeros on the v section)."""
+    if lora:
+        la_ref, lb_ref = refs[0], refs[1]
+        refs = refs[2:]
+    qw, qs, qz, o_ref, xs, qkv = refs
     xs[:] = _rms_norm_rows(x_ref[:].astype(jnp.float32), rms1_ref)
     _mv_int4(xs, qkv, qw, qs, qz, K=D, N=3 * D, gs=gs, bn=bn, cdtype=cdtype,
              sublanes=xs.shape[0])
+    if lora:
+        _add_lora_delta(xs, qkv, la_ref, lb_ref)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * D), 1)
     head_mask = (lanes % 128) < 64
     rot = _rot_half_lanes(qkv[:], cos3_ref[:], sin3_ref[:], head_mask)
@@ -713,16 +754,18 @@ def block_head_fused(x, rms1, cos3, sin3, ca, *, B, D, gs, cdtype,
         x = jnp.pad(x, ((0, Bp - B), (0, 0)))
         cos3 = jnp.pad(cos3, ((0, Bp - B), (0, 0)))
         sin3 = jnp.pad(sin3, ((0, Bp - B), (0, 0)))
+    lora = "lora_af" in ca
+    lora_ops = (ca["lora_af"], ca["lora_bf"]) if lora else ()
     kernel = functools.partial(
         _block_head_kernel, B=B, D=D, gs=gs, bn=_pick_bn(3 * D, D),
-        cdtype=jnp.dtype(cdtype),
+        cdtype=jnp.dtype(cdtype), lora=lora,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, 3 * D), jnp.dtype(cdtype)),
-        in_specs=[vmem, vmem, vmem, vmem, hbm, hbm, hbm],
+        in_specs=[vmem] * (4 + len(lora_ops)) + [hbm, hbm, hbm],
         out_specs=vmem,
         scratch_shapes=[
             pltpu.VMEM((Bp, D), jnp.float32),
@@ -733,7 +776,7 @@ def block_head_fused(x, rms1, cos3, sin3, ca, *, B, D, gs, cdtype,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, rms1.reshape(1, D), cos3, sin3, ca["qw"], *_scale_pair(ca))
+    )(x, rms1.reshape(1, D), cos3, sin3, *lora_ops, ca["qw"], *_scale_pair(ca))
 
 
 @functools.partial(
@@ -799,19 +842,24 @@ def use_serve_fused(config, layer_params, batch: int | None = None) -> bool:
         return False
     if os.environ.get("LIT_LLAMA_TPU_NO_PALLAS"):
         return False
-    max_b = int(
-        os.environ.get("LIT_LLAMA_TPU_SERVE_KERNEL_MAX_B", SERVE_KERNEL_MAX_B)
-    )
+    raw = os.environ.get("LIT_LLAMA_TPU_SERVE_KERNEL_MAX_B", "")
+    try:
+        max_b = int(raw) if raw.strip() else SERVE_KERNEL_MAX_B
+    except ValueError as e:
+        raise ValueError(
+            f"LIT_LLAMA_TPU_SERVE_KERNEL_MAX_B must be an integer, got {raw!r}"
+        ) from e
     if batch is not None and batch > max_b:
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     if config.rope_layout != "half" or config.head_size != 128:
         return False
-    return (
-        "qzero" in layer_params.get("attn", {}).get("c_attn", {})
-        and "c_fc12" in layer_params.get("mlp", {})
-    )
+    c_attn = layer_params.get("attn", {}).get("c_attn", {})
+    if config.lora is not None and "lora_af" not in c_attn:
+        # the overlay must be folded into kernel operands (prepare_fused_params)
+        return False
+    return "qzero" in c_attn and "c_fc12" in layer_params.get("mlp", {})
 
 
 def half_basis_perm(hs: int) -> jnp.ndarray:
@@ -824,22 +872,78 @@ def half_basis_perm(hs: int) -> jnp.ndarray:
     )
 
 
-def permute_qk_columns(c_attn: Params, D: int, hs: int) -> Params:
-    """Permute the q and k head columns of the fused QKV weight to the
-    half-rotation basis (v untouched). Applies to every (…, 3D)-trailing leaf."""
+def _head_perm(D: int, hs: int) -> jnp.ndarray:
+    """Per-head interleaved -> half-rotation column permutation over D lanes."""
     H = D // hs
     per_head = half_basis_perm(hs)
-    head_perm = (jnp.arange(H)[:, None] * hs + per_head[None, :]).reshape(-1)
+    return (jnp.arange(H)[:, None] * hs + per_head[None, :]).reshape(-1)
+
+
+def permute_qk_columns(c_attn: Params, D: int, hs: int) -> Params:
+    """Permute the q and k head columns of the fused QKV weight to the
+    half-rotation basis (v untouched). Applies to every (…, 3D)-trailing leaf;
+    LoRA leaves (trailing n_en*r / D) are handled by prepare_lora_operands."""
+    head_perm = _head_perm(D, hs)
     full = jnp.concatenate([head_perm, D + head_perm, 2 * D + jnp.arange(D)])
-    return {k: v[..., full] for k, v in c_attn.items()}
+    return {
+        k: (v[..., full] if v.shape[-1] == 3 * D else v) for k, v in c_attn.items()
+    }
+
+
+def prepare_lora_operands(c_attn: Params, lora_cfg, D: int, hs: int) -> Params:
+    """Kernel-facing LoRA operands for the fused decode paths.
+
+    The runtime update is qkv += scaling * zero_pad(x @ A grouped-expanded by
+    B) (peft/lora.py lora_delta; reference lit_llama/lora.py:297-325). Folded
+    here into two dense matrices the kernels chain as two small dots:
+      ``lora_af`` (D, R8): A zero-padded to an 8-multiple rank column count;
+      ``lora_bf`` (R8, 3D): per-group B blocks scattered into their enabled
+        q/k/v output slots with ``scaling`` folded in and the q/k sections
+        permuted to the half-rotation basis (matching permute_qk_columns).
+    Also permutes the stored ``lora_b`` q/k groups so the XLA half-basis path
+    (prefill, parity reference) produces the same rotated delta."""
+    a = c_attn["lora_a"]
+    b = c_attn["lora_b"]  # (n_en, r, D)
+    n_en, r = b.shape[0], b.shape[1]
+    R = n_en * r
+    R8 = _round8(R)
+    head_perm = _head_perm(D, hs)
+    bf = jnp.zeros((R, 3 * D), jnp.float32)
+    b_perm = []
+    g = 0
+    for i, enabled in enumerate(lora_cfg.enable):  # groups are (q, k, v)
+        if not enabled:
+            continue
+        bg = b[g].astype(jnp.float32)
+        if i < 2:  # q and k columns live in the half-rotation basis
+            bg = bg[..., head_perm]
+        b_perm.append(bg)
+        bf = bf.at[g * r : (g + 1) * r, i * D : (i + 1) * D].set(
+            bg * lora_cfg.scaling
+        )
+        g += 1
+    out = dict(c_attn)
+    out["lora_b"] = jnp.stack(b_perm).astype(b.dtype)
+    out["lora_af"] = jnp.pad(a.astype(jnp.float32), ((0, 0), (0, R8 - R))).astype(
+        a.dtype
+    )
+    out["lora_bf"] = jnp.pad(bf, ((0, R8 - R), (0, 0))).astype(a.dtype)
+    return out
 
 
 def fused_layer_supported(config, params) -> bool:
     """Static dispatch predicate for the fused decode path."""
     if config.quantize != "int4" or config.kv_cache_dtype is not None:
         return False
-    if config.lora is not None or config.adapter is not None:
+    if config.adapter is not None:
         return False
+    if config.lora is not None:
+        # the kernels take the low-rank update as two dense side operands
+        # (prepare_lora_operands); requires the overlay to be loaded
+        h0 = params.get("h")
+        lp0 = h0[0] if isinstance(h0, (list, tuple)) else h0
+        if "lora_a" not in (lp0 or {}).get("attn", {}).get("c_attn", {}):
+            return False
     if config.head_size != 128:
         return False
     D, I, gs = config.n_embd, config.intermediate_size, config.quant_groupsize
@@ -919,9 +1023,10 @@ def prepare_fused_params(params: Params, config) -> Tuple[Params, Any]:
     for lp in params["h"]:
         lp = dict(lp)
         attn = dict(lp["attn"])
-        attn["c_attn"] = _add_blocked_scales(
-            permute_qk_columns(dict(attn["c_attn"]), D, hs), gs
-        )
+        c_attn = permute_qk_columns(dict(attn["c_attn"]), D, hs)
+        if "lora_a" in c_attn and getattr(config, "lora", None) is not None:
+            c_attn = prepare_lora_operands(c_attn, config.lora, D, hs)
+        attn["c_attn"] = _add_blocked_scales(c_attn, gs)
         attn["c_proj"] = _add_blocked_scales(dict(attn["c_proj"]), gs)
         lp["attn"] = attn
         mlp = dict(lp["mlp"])

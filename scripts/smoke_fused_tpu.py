@@ -125,6 +125,68 @@ def main() -> None:
         failures += 1
         print(f"decode_attention_write: EXCEPTION {type(e).__name__}: {str(e)[:400]}")
 
+    # --- pipelined write+attention (both formulations) -----------------------
+    from lit_llama_tpu.ops.decode_attention import decode_attention_write_pipelined
+
+    for mxu in (True, False):
+        name = f"decode_attention_write_pipelined(mxu={mxu})"
+        try:
+            B = 3
+            q = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.bfloat16)
+            kn = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.bfloat16)
+            vn = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.bfloat16)
+            kc = jnp.asarray(rng.normal(size=(B, H, S, hs)), jnp.bfloat16)
+            vc = jnp.asarray(rng.normal(size=(B, H, S, hs)), jnp.bfloat16)
+            posv = jnp.asarray([0, 64, S + 7], jnp.int32)
+            wp = posv % S
+            kc_ref = kc.at[jnp.arange(B), :, wp].set(kn[:, :, 0])
+            vc_ref = vc.at[jnp.arange(B), :, wp].set(vn[:, :, 0])
+            maskv = (jnp.arange(S)[None, :] <= posv[:, None])[:, None, None, :]
+            y_ref = attention_xla(q, kc_ref, vc_ref, maskv)
+            y, kc2, vc2 = decode_attention_write_pipelined(
+                q, kn, vn, fused_layer.pack_kv(kc), fused_layer.pack_kv(vc),
+                posv, mxu=mxu,
+            )
+            kc2 = fused_layer.unpack_kv(kc2)
+            err = float(jnp.max(jnp.abs(y.astype(jnp.float32) - y_ref.astype(jnp.float32))))
+            cerr = float(jnp.max(jnp.abs(kc2.astype(jnp.float32) - kc_ref.astype(jnp.float32))))
+            ok = err < 0.05 and cerr == 0.0
+            failures += not ok
+            print(f"{name}: {'OK' if ok else 'FAIL'} (|dy|={err:.4f} |dcache|={cerr})")
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            print(f"{name}: EXCEPTION {type(e).__name__}: {str(e)[:400]}")
+
+    # --- LoRA side-branch through the whole-layer kernel ----------------------
+    try:
+        from lit_llama_tpu.models.config import LoRAConfig
+
+        lcfg = cfg.replace(lora=LoRAConfig(r=4, alpha=8.0, dropout=0.0))
+        ldense = init_params(lcfg.replace(quantize=None), jax.random.PRNGKey(1))
+        ldense["h"]["attn"]["c_attn"]["lora_b"] = (
+            jax.random.normal(
+                jax.random.PRNGKey(9), ldense["h"]["attn"]["c_attn"]["lora_b"].shape
+            ).astype(jnp.bfloat16)
+            * 0.1
+        )
+        lq = llama.unstack_layers(llama.quantize_params(ldense, lcfg))
+        lfp, lfc = fused_layer.prepare_fused_params(lq, lcfg)
+        lpl = lfp["h"][0]
+        ref_out, _ = llama._block(lpl, x[None], rope, mask, lfc, dict(kv), pos % S, False)
+        got_out, _ = fused_layer.decode_layer_fused(
+            x, lpl, {n: fused_layer.pack_kv(c) for n, c in kv.items()},
+            cosf, sinf, pos % S, pos, lfc,
+        )
+        err = float(jnp.max(jnp.abs(
+            got_out.astype(jnp.float32) - ref_out[0].astype(jnp.float32)
+        )))
+        ok = err < 0.15
+        failures += not ok
+        print(f"decode_layer_fused+lora: {'OK' if ok else 'FAIL'} (|d|={err:.4f})")
+    except Exception as e:  # noqa: BLE001
+        failures += 1
+        print(f"decode_layer_fused+lora: EXCEPTION {type(e).__name__}: {str(e)[:400]}")
+
     # --- batched block-half kernels (serving) --------------------------------
     try:
         from lit_llama_tpu.models.llama import (

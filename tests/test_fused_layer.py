@@ -397,3 +397,129 @@ def test_use_serve_fused_batch_threshold(prepared_bf16, monkeypatch):
     # batch unknown (single-stream / direct kernel callers): unaffected
     monkeypatch.delenv("LIT_LLAMA_TPU_SERVE_KERNEL_MAX_B")
     assert fused_layer.use_serve_fused(fcfg, lp)
+
+
+# ---------------------------------------------------------------------------
+# LoRA on the fused decode paths (BASELINE config #4): the low-rank update is
+# folded into two dense kernel operands (prepare_lora_operands) and chained as
+# two small dots inside the whole-layer and block-head kernels.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def prepared_lora():
+    from lit_llama_tpu.models.config import LoRAConfig
+
+    cfg = tiny_config().replace(lora=LoRAConfig(r=4, alpha=8.0, dropout=0.0))
+    dense = init_params(cfg.replace(quantize=None), jax.random.PRNGKey(0))
+    dense["h"]["attn"]["c_attn"]["lora_b"] = (
+        jax.random.normal(
+            jax.random.PRNGKey(9), dense["h"]["attn"]["c_attn"]["lora_b"].shape
+        )
+        * 0.1
+    )
+    qparams = llama.unstack_layers(llama.quantize_params(dense, cfg))
+    assert fused_layer.fused_layer_supported(cfg, qparams)
+    fparams, fcfg = fused_layer.prepare_fused_params(qparams, cfg)
+    assert "lora_af" in fparams["h"][0]["attn"]["c_attn"]
+    return cfg, qparams, fparams, fcfg
+
+
+def test_lora_half_basis_forward_equivalence(prepared_lora):
+    """prepare_lora_operands permutes lora_b's q columns with the weights: the
+    half-basis XLA forward (prefill/parity path) equals the interleaved one."""
+    cfg, qparams, fparams, fcfg = prepared_lora
+    toks = jnp.asarray([[3, 17, 42, 99, 7]], jnp.int32)
+    ref, _ = forward(qparams, toks, cfg)
+    got, _ = forward(fparams, toks, fcfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("pos", [0, 37])
+def test_decode_layer_fused_lora_matches_xla(prepared_lora, pos):
+    cfg, _, fparams, fcfg = prepared_lora
+    D, H, hs = cfg.n_embd, cfg.n_head, cfg.head_size
+    S = 128
+    rng = np.random.default_rng(pos + 11)
+    kv = {
+        "k": jnp.asarray(rng.normal(size=(1, H, S, hs)) * 0.3, jnp.float32),
+        "v": jnp.asarray(rng.normal(size=(1, H, S, hs)) * 0.3, jnp.float32),
+    }
+    x = jnp.asarray(rng.normal(size=(1, D)) * 0.5, jnp.float32)
+    lp = fparams["h"][0]
+    pos_arr = jnp.int32(pos)
+    ref_out, ref_kv = _xla_block_step(lp, x, pos_arr, kv, fcfg, S)
+    rope_cache = build_rope_cache(fcfg.block_size, hs)
+    cosf, sinf = rope_half_row(
+        rope_cache, jnp.clip(pos_arr, 0, fcfg.block_size - 1), hs
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got_out, got_kv = fused_layer.decode_layer_fused(
+            x, lp, kv, cosf, sinf, pos_arr % S, pos_arr, fcfg
+        )
+    np.testing.assert_allclose(
+        np.asarray(got_kv["k"]), np.asarray(ref_kv["k"]), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_out), np.asarray(ref_out), rtol=2e-3, atol=2e-3
+    )
+    # the update is live inside the kernel: dropping the operands changes out
+    lp_nolora = jax.tree_util.tree_map(lambda a: a, lp)
+    lp_nolora["attn"]["c_attn"] = {
+        k: v
+        for k, v in lp["attn"]["c_attn"].items()
+        if not k.startswith("lora")
+    }
+    with pltpu.force_tpu_interpret_mode():
+        base_out, _ = fused_layer.decode_layer_fused(
+            x, lp_nolora, kv, cosf, sinf, pos_arr % S, pos_arr, fcfg
+        )
+    assert np.abs(np.asarray(got_out) - np.asarray(base_out)).max() > 1e-5
+
+
+def test_fused_generate_lora_matches_standard(prepared_lora):
+    """End-to-end greedy decode through the fused kernels with the LoRA
+    side-branch equals the per-op XLA decode on the same overlaid weights."""
+    from lit_llama_tpu.models import generate as gen
+
+    cfg, qparams, fparams, fcfg = prepared_lora
+    prompt = np.asarray([5, 23, 81, 2, 40], np.int32)
+    ref = gen.generate(
+        qparams, prompt, 8, config=cfg, max_seq_length=32, temperature=0.0
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = gen.generate(
+            fparams, prompt, 8, config=fcfg, max_seq_length=32, temperature=0.0
+        )
+    assert got.tolist() == ref.tolist()
+
+
+def test_engine_batched_fused_lora_matches(prepared_lora, monkeypatch):
+    """Continuous-batching decode through block_head (with the LoRA dots) +
+    write-attention + block_tail matches the per-op XLA engine greedy."""
+    from lit_llama_tpu.models.generate import generate
+    from lit_llama_tpu.ops import fused_layer as fl
+    from lit_llama_tpu.serve.engine import DecodeEngine
+
+    cfg, qparams, fparams, fcfg = prepared_lora
+    monkeypatch.setattr(
+        fl,
+        "use_serve_fused",
+        lambda config, lp, batch=None: config.rope_layout == "half"
+        and "qzero" in lp["attn"]["c_attn"]
+        and "c_fc12" in lp["mlp"],
+    )
+    rng = np.random.default_rng(23)
+    prompts = [rng.integers(1, 128, size=n).astype(np.int32) for n in (5, 9)]
+    expected = [
+        generate(
+            qparams, p, 6, config=cfg, max_seq_length=64, temperature=0.0
+        )[len(p):].tolist()
+        for p in prompts
+    ]
+    with pltpu.force_tpu_interpret_mode():
+        eng = DecodeEngine(fparams, fcfg, max_batch=2, max_seq_length=64)
+        ids = [eng.submit(p, 6) for p in prompts]
+        done = eng.run()
+    for rid, exp in zip(ids, expected):
+        assert done[rid].generated == exp, rid

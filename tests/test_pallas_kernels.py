@@ -285,3 +285,70 @@ def test_decode_attention_write_packed_matches_scatter_plus_xla(rng, positions):
         np.asarray(y, np.float32), np.asarray(y_ref, np.float32),
         atol=0.02, rtol=0.02,
     )
+
+
+@pytest.mark.parametrize("mxu", [True, False])
+@pytest.mark.parametrize("positions", [[0, 5, 255], [256 + 7, 3, 511 + 256]])
+def test_decode_attention_write_pipelined_matches(rng, positions, mxu):
+    """BlockSpec-pipelined batched write+attention (both the MXU dot_general
+    and VPU multiply-reduce formulations) vs scatter + masked einsum — f32
+    direct cache."""
+    from lit_llama_tpu.ops.decode_attention import decode_attention_write_pipelined
+
+    B, H, S, hs = len(positions), 4, 256, 128
+    q = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.float32)
+    knew = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.float32)
+    vnew = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(B, H, S, hs)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(B, H, S, hs)), jnp.float32)
+    pos = jnp.asarray(positions, jnp.int32)
+
+    wp = pos % S
+    kc_ref = kc.at[jnp.arange(B), :, wp].set(knew[:, :, 0])
+    vc_ref = vc.at[jnp.arange(B), :, wp].set(vnew[:, :, 0])
+    mask = (jnp.arange(S)[None, :] <= pos[:, None])[:, None, None, :]
+    y_ref = attention_xla(q, kc_ref, vc_ref, mask)
+
+    y, kc2, vc2 = decode_attention_write_pipelined(
+        q, knew, vnew, kc, vc, pos, mxu=mxu, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(kc2), np.asarray(kc_ref))
+    np.testing.assert_array_equal(np.asarray(vc2), np.asarray(vc_ref))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.parametrize("mxu", [True, False])
+@pytest.mark.parametrize("positions", [[0, 5, 255], [256 + 7, 3, 511 + 256]])
+def test_decode_attention_write_pipelined_packed_matches(rng, positions, mxu):
+    """Pipelined kernel against the packed bf16-pair uint32 cache (the on-chip
+    serving layout): bit-exact cache update, bf16-tolerance outputs."""
+    from lit_llama_tpu.ops.decode_attention import decode_attention_write_pipelined
+    from lit_llama_tpu.ops.fused_layer import pack_kv, unpack_kv
+
+    B, H, S, hs = len(positions), 4, 256, 128
+    q = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.bfloat16)
+    knew = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.bfloat16)
+    vnew = jnp.asarray(rng.normal(size=(B, H, 1, hs)), jnp.bfloat16)
+    kc = jnp.asarray(rng.normal(size=(B, H, S, hs)), jnp.bfloat16)
+    vc = jnp.asarray(rng.normal(size=(B, H, S, hs)), jnp.bfloat16)
+    pos = jnp.asarray(positions, jnp.int32)
+
+    wp = pos % S
+    kc_ref = kc.at[jnp.arange(B), :, wp].set(knew[:, :, 0])
+    vc_ref = vc.at[jnp.arange(B), :, wp].set(vnew[:, :, 0])
+    mask = (jnp.arange(S)[None, :] <= pos[:, None])[:, None, None, :]
+    y_ref = attention_xla(q, kc_ref, vc_ref, mask)
+
+    y, kc2, vc2 = decode_attention_write_pipelined(
+        q, knew, vnew, pack_kv(kc), pack_kv(vc), pos, mxu=mxu, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unpack_kv(kc2), np.float32), np.asarray(kc_ref, np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unpack_kv(vc2), np.float32), np.asarray(vc_ref, np.float32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(y_ref, np.float32),
+        atol=0.02, rtol=0.02,
+    )
