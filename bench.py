@@ -37,7 +37,7 @@ BASELINE_TOK_S = 10.0  # reference TPU v4-8 bf16 decode (howto/tpus.md:37-41)
 # Orchestration knobs (env-overridable so CI can tighten them).
 ATTEMPTS = int(os.environ.get("LIT_LLAMA_TPU_BENCH_ATTEMPTS", "3"))
 BACKOFF_S = [15, 60, 120]
-ATTEMPT_TIMEOUT_S = int(os.environ.get("LIT_LLAMA_TPU_BENCH_TIMEOUT", "2700"))
+ATTEMPT_TIMEOUT_S = int(os.environ.get("LIT_LLAMA_TPU_BENCH_TIMEOUT", "3600"))
 CPU_TIMEOUT_S = 900
 
 
@@ -85,6 +85,82 @@ def random_int4_params(config, key):
         "ln_f": jnp.ones((D,), dtype),
         "lm_head": q4((D, V)),
     }
+
+
+def random_int8_params(config, key):
+    """Quantized pytree at llm.int8 shapes (symmetric per-channel, ops/linear
+    quantize_int8 layout) — the second named BASELINE bit-width."""
+    import jax
+    import jax.numpy as jnp
+
+    D, V, I, L = (
+        config.n_embd,
+        config.padded_vocab_size,
+        config.intermediate_size,
+        config.n_layer,
+    )
+    ks = iter(jax.random.split(key, 16))
+    dtype = jnp.dtype(config.param_dtype)
+
+    def dense(shape, scale=0.02):
+        return (jax.random.normal(next(ks), shape, jnp.float32) * scale).astype(dtype)
+
+    def q8(shape):
+        lead, in_f, out_f = shape[:-2], shape[-2], shape[-1]
+        qw = jax.random.randint(next(ks), lead + (in_f, out_f), -127, 128, jnp.int8)
+        qscale = jnp.full(lead + (1, out_f), 0.0003, jnp.float32)
+        return {"qw": qw, "qscale": qscale}
+
+    return {
+        "wte": dense((V, D)),
+        "h": {
+            "rms_1": jnp.ones((L, D), dtype),
+            "attn": {"c_attn": q8((L, D, 3 * D)), "c_proj": q8((L, D, D))},
+            "rms_2": jnp.ones((L, D), dtype),
+            "mlp": {
+                "c_fc1": q8((L, D, I)),
+                "c_fc2": q8((L, D, I)),
+                "c_proj": q8((L, I, D)),
+            },
+        },
+        "ln_f": jnp.ones((D,), dtype),
+        "lm_head": q8((D, V)),
+    }
+
+
+def _measure_serving(params, config, max_batch: int = 32):
+    """Continuous-batching aggregate tok/s and p50 TTFT at the headline slot
+    count (the BASELINE metric names p50 TTFT; scripts/bench_serving.py is the
+    full-featured tool — this is its driver-parseable core). Offered load is
+    2x the slot count of mixed-length prompts so TTFT reflects admission under
+    a busy engine rather than an idle one."""
+    import numpy as np
+
+    from lit_llama_tpu.serve.engine import DecodeEngine
+
+    n_requests = 2 * max_batch
+    max_new, max_seq = 64, 256
+    rng = np.random.default_rng(0)
+    lens = np.exp(rng.uniform(np.log(8), np.log(128), n_requests)).astype(int)
+    prompts = [
+        rng.integers(1, config.vocab_size, size=int(n)).astype(np.int32)
+        for n in lens
+    ]
+    engine = DecodeEngine(
+        params, config, max_batch=max_batch, max_seq_length=max_seq,
+        steps_per_sync=8, prefill_chunk=512, prefill_budget=1024,
+    )
+    t0 = time.perf_counter()
+    engine.warmup()
+    warmup_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for p in prompts:
+        engine.submit(p, max_new)
+    done = engine.run()
+    wall = time.perf_counter() - t0
+    total = sum(len(r.generated) for r in done.values())
+    ttfts = sorted(r.ttft for r in done.values())
+    return total / wall, ttfts[len(ttfts) // 2], warmup_s
 
 
 def _measure_decode(params, config, max_new: int, max_seq_length: int):
@@ -197,6 +273,57 @@ def run_bench() -> None:
             record["extra_rows"] = [
                 {"metric": "decode_tok_s_7b_int4_s2048", "error": str(e)[:300]}
             ]
+
+        # Serving rows: aggregate tok/s at 32 slots + p50 TTFT (both named
+        # BASELINE metrics; previously prose-only — VERDICT r3 missing #4).
+        try:
+            serve_tok_s, ttft_p50, warmup_s = _measure_serving(params, config)
+            record["extra_rows"] += [
+                {
+                    "metric": "serving_tok_s_32slots",
+                    "value": round(serve_tok_s, 1),
+                    "unit": "tokens/sec/chip",
+                },
+                {
+                    "metric": "serving_ttft_p50_s",
+                    "value": round(ttft_p50, 3),
+                    "unit": "seconds",
+                },
+            ]
+            notes.append(f"serving warmup {warmup_s:.1f}s")
+        except Exception as e:  # noqa: BLE001
+            record["extra_rows"].append(
+                {"metric": "serving_tok_s_32slots", "error": str(e)[:300]}
+            )
+
+        # llm.int8 decode row (the OTHER named BASELINE bit-width; the int4
+        # params are dropped first — both trees at once would crowd the cache).
+        try:
+            del params
+            params8 = jax.jit(random_int8_params, static_argnums=0)(
+                config.replace(quantize="int8"), jax.random.PRNGKey(0)
+            )
+            params8 = llama.unstack_layers(params8)
+            jax.block_until_ready(params8)
+            cfg8 = config.replace(quantize="int8", rope_layout="interleaved")
+            tok_s8, compile_8, times_8, _ = _measure_decode(
+                params8, cfg8, max_new, min(cfg8.block_size, 8 + max_new)
+            )
+            record["extra_rows"].append(
+                {
+                    "metric": "decode_tok_s_7b_int8",
+                    "value": round(tok_s8, 2),
+                    "unit": "tokens/sec/chip",
+                }
+            )
+            notes.append(
+                f"int8 compile {compile_8:.1f}s runs {[f'{t:.2f}' for t in times_8]}"
+            )
+        except Exception as e:  # noqa: BLE001
+            record["extra_rows"].append(
+                {"metric": "decode_tok_s_7b_int8", "error": str(e)[:300]}
+            )
+
         mem = jax.local_devices()[0].memory_stats() or {}
         peak = mem.get("peak_bytes_in_use")
         if peak:
