@@ -234,7 +234,7 @@ def run_bench() -> None:
     params = llama.unstack_layers(params)
     from lit_llama_tpu.ops.fused_layer import maybe_prepare_fused
 
-    params, config = maybe_prepare_fused(params, config)
+    params, config = maybe_prepare_fused(params, config, mega=True)
     jax.block_until_ready(params)
 
     # Headline: short-context decode (cache = prompt + new tokens).
@@ -373,14 +373,19 @@ def _attempt(env_extra: dict, timeout_s: int):
 
 def main() -> None:
     errors = []
-    # last accelerator attempt disables the fused decode kernels: a Mosaic
-    # regression in the (newer) fused path must not cost the round its
-    # driver-verified number — the standard kernel path still measures.
-    attempt_envs = [{}] * max(1, ATTEMPTS - 1) + [{"LIT_LLAMA_TPU_FUSED": "0"}]
+    # degrade the kernel stack across attempts: a Mosaic regression in the
+    # NEWEST path (whole-step megakernel) falls back to the per-layer fused
+    # kernels, then to the per-op path — the round keeps a verified number.
+    attempt_envs = [{}] * max(1, ATTEMPTS - 2) + [
+        {"LIT_LLAMA_TPU_MEGA": "0"},
+        {"LIT_LLAMA_TPU_FUSED": "0"},
+    ]
     for i, env in enumerate(attempt_envs):
         rec, err = _attempt(env, ATTEMPT_TIMEOUT_S)
         if rec is not None:
-            if env:
+            if "LIT_LLAMA_TPU_MEGA" in env:
+                rec["megakernel"] = False
+            if "LIT_LLAMA_TPU_FUSED" in env:
                 rec["fused_kernels"] = False
             print(json.dumps(rec))
             return

@@ -65,7 +65,7 @@ def main(
     params = unstack_layers(params)
     # whole-layer fused decode kernels (one Pallas launch per block) when the
     # model qualifies (int4, hs=128, bf16 cache) and we're on TPU
-    params, config = maybe_prepare_fused(params, config)
+    params, config = maybe_prepare_fused(params, config, mega=True)
     print(f"Time to load model: {time.time() - t0:.02f} seconds.", file=sys.stderr)
 
     tokenizer = Tokenizer(tokenizer_path)

@@ -144,12 +144,16 @@ def blocked_scales(qs: jnp.ndarray, K: int, N: int, gs: int) -> jnp.ndarray:
 
 
 def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
-             residual_ref=None, sublanes=8):
+             residual_ref=None, sublanes=8, layer=None):
     """dst[:, :N] = src @ dequant(qw) (+ residual), streaming the weight.
 
     src_ref: (8, K) f32 VMEM scratch (row 0 live). qw (K/2, N) u8 HBM,
     qs/qz (G, N) f32 HBM. One n-block per iteration, K untiled (decode blocks
     are K-major streams; the largest 7B stage is 5504 x bn bytes per block).
+
+    ``layer``: dynamic leading index when the planes are STACKED (L, ...) —
+    the whole-step megakernel walks layers inside one launch (fori_loop), so
+    every DMA picks its layer's plane with a dynamic first index.
     """
     G = K // gs
     Gh = G // 2
@@ -159,10 +163,10 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
     # leading-index DMA reads into 8-aligned buffer planes. The legacy (G, N)
     # layout (interpret tests, unprepared params) DMAs column slices — only
     # legal on chip for friendly G (see blocked_scales docstring).
-    blocked = qs.ndim == 3
-    G8 = qs.shape[1] if blocked else G
+    blocked = qs.ndim == (3 if layer is None else 4)
+    G8 = qs.shape[-2] if blocked else G
     if blocked:
-        assert qs.shape == (NB, G8, bn) and G8 == _round8(G), (qs.shape, G, bn)
+        assert qs.shape[-3:] == (NB, G8, bn) and G8 == _round8(G), (qs.shape, G, bn)
 
     # group sums of src for the factored zero-point term (f32, exact).
     # NOTE the lane-split reshape (8, K) -> (8, G, gs) is the one op here
@@ -176,18 +180,37 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
     def stage(wbuf, sbuf, zbuf, sems):
         def dmas(slot, nb):
             n0 = nb * bn
-            if blocked:
-                s_src, z_src = qs.at[nb], qz.at[nb]
+            if layer is None:
+                w_src = qw.at[:, pl.ds(n0, bn)]
+                if blocked:
+                    s_src, z_src = qs.at[nb], qz.at[nb]
+                else:
+                    s_src = qs.at[:, pl.ds(n0, bn)]
+                    z_src = qz.at[:, pl.ds(n0, bn)]
             else:
-                s_src = qs.at[:, pl.ds(n0, bn)]
-                z_src = qz.at[:, pl.ds(n0, bn)]
+                w_src = qw.at[layer, :, pl.ds(n0, bn)]
+                if blocked:
+                    s_src, z_src = qs.at[layer, nb], qz.at[layer, nb]
+                else:
+                    s_src = qs.at[layer, :, pl.ds(n0, bn)]
+                    z_src = qz.at[layer, :, pl.ds(n0, bn)]
             return (
-                pltpu.make_async_copy(
-                    qw.at[:, pl.ds(n0, bn)], wbuf.at[slot], sems.at[slot, 0]
-                ),
+                pltpu.make_async_copy(w_src, wbuf.at[slot], sems.at[slot, 0]),
                 pltpu.make_async_copy(s_src, sbuf.at[slot], sems.at[slot, 1]),
                 pltpu.make_async_copy(z_src, zbuf.at[slot], sems.at[slot, 2]),
             )
+
+        # Nibble decode strategy (VPU-unpack-bound kernels, ~82% of HBM peak):
+        #   i32 (default): widen u8->i32, mask & shift, cast each half to
+        #     cdtype.
+        #   arith: cast bytes to cdtype ONCE, then high = floor(B/16),
+        #     low = B - 16*high — every value (B<=255, high<=15, low<=15,
+        #     16*high<=240) is exact in bf16's 8-bit significand, and the
+        #     arithmetic runs at twice the register density of i32 ops.
+        # Read at TRACE time — A/B across processes (profile_decode.py).
+        import os
+
+        arith_unpack = os.environ.get("LIT_LLAMA_TPU_UNPACK", "i32") == "arith"
 
         for d in dmas(0, 0):
             d.start()
@@ -198,7 +221,10 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
                     d.start()
             for d in dmas(slot, nb):
                 d.wait()
-            p32 = wbuf[slot].astype(jnp.int32)  # (Kh, bn)
+            if arith_unpack:
+                pf = wbuf[slot].astype(cdtype)  # (Kh, bn) exact byte values
+            else:
+                p32 = wbuf[slot].astype(jnp.int32)  # (Kh, bn)
             acc = jax.lax.dot_general(
                 gx_lo, zbuf[slot][:Gh], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -208,9 +234,14 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
                 preferred_element_type=jnp.float32,
             )
             for g in range(Gh):
-                rows = p32[g * gs : (g + 1) * gs]
-                low_q = (rows & 0xF).astype(cdtype)
-                high_q = (rows >> 4).astype(cdtype)
+                if arith_unpack:
+                    brows = pf[g * gs : (g + 1) * gs]
+                    high_q = jnp.floor(brows * jnp.asarray(0.0625, cdtype))
+                    low_q = brows - high_q * jnp.asarray(16.0, cdtype)
+                else:
+                    rows = p32[g * gs : (g + 1) * gs]
+                    low_q = (rows & 0xF).astype(cdtype)
+                    high_q = (rows >> 4).astype(cdtype)
                 xlo = src_ref[:, g * gs : (g + 1) * gs].astype(cdtype)
                 xhi = src_ref[:, Kh + g * gs : Kh + (g + 1) * gs].astype(cdtype)
                 lo_dot = jax.lax.dot_general(
@@ -237,15 +268,16 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
 
 
 def _decode_attention(q3_ref, kc, vc, o_ref, limit, *, H, S, hs, bs, packed,
-                      cdtype):
+                      cdtype, layer=None):
     """Online-softmax decode attention for one query row per head.
 
     q3_ref (H, hs) VMEM; kc/vc HBM refs (the aliased cache OUTPUT refs, read
     after the new row's write completed): (1, H, S, hs) f32 direct mode, or
-    (1, H, S//2, hs) u32 packed bf16 pairs. o_ref (H, hs) f32 VMEM out. Key
-    position p visible iff p <= limit. ``bs`` counts POSITIONS per block (even
-    in packed mode). Head-batched VPU multiply-reduce (the round-2 finding:
-    M=1 MXU dots per head pay a fixed pass latency each;
+    (1, H, S//2, hs) u32 packed bf16 pairs — with a leading L axis indexed by
+    ``layer`` inside the whole-step megakernel. o_ref (H, hs) f32 VMEM out.
+    Key position p visible iff p <= limit. ``bs`` counts POSITIONS per block
+    (even in packed mode). Head-batched VPU multiply-reduce (the round-2
+    finding: M=1 MXU dots per head pay a fixed pass latency each;
     see ops/decode_attention.py).
     """
     scale = 1.0 / (hs**0.5)
@@ -256,15 +288,15 @@ def _decode_attention(q3_ref, kc, vc, o_ref, limit, *, H, S, hs, bs, packed,
     def stage(kbuf, vbuf, m_s, l_s, acc_s, sems):
         def dmas(slot, sb):
             r0 = sb * rows_per_blk
+            if layer is None:
+                k_src = kc.at[0, :, pl.ds(r0, rows_per_blk), :]
+                v_src = vc.at[0, :, pl.ds(r0, rows_per_blk), :]
+            else:
+                k_src = kc.at[layer, 0, :, pl.ds(r0, rows_per_blk), :]
+                v_src = vc.at[layer, 0, :, pl.ds(r0, rows_per_blk), :]
             return (
-                pltpu.make_async_copy(
-                    kc.at[0, :, pl.ds(r0, rows_per_blk), :], kbuf.at[slot],
-                    sems.at[slot, 0],
-                ),
-                pltpu.make_async_copy(
-                    vc.at[0, :, pl.ds(r0, rows_per_blk), :], vbuf.at[slot],
-                    sems.at[slot, 1],
-                ),
+                pltpu.make_async_copy(k_src, kbuf.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(v_src, vbuf.at[slot], sems.at[slot, 1]),
             )
 
         m_s[:] = jnp.full_like(m_s, NEG_INF)
@@ -679,6 +711,277 @@ def lm_head_fused(x, ln_w, head: Params, config, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# Whole-STEP megakernel: the entire decode step — all L blocks + final norm +
+# lm_head — as ONE Pallas launch. A fori_loop walks the layers; every weight
+# plane is stacked (L, ...) in HBM and each DMA picks its layer with a dynamic
+# leading index. Removes the last per-launch gaps (33 -> 1) and every scrap of
+# inter-layer XLA glue from the decode step; sampling and the token embedding
+# stay outside (top-k sampling in-kernel would need sorts the VPU is bad at,
+# and both are microseconds).
+# ---------------------------------------------------------------------------
+
+
+def _step_kernel(
+    wp_ref, limit_ref,
+    x_ref, rms1_ref, rms2_ref, cos_ref, sin_ref, lnf_ref,
+    ca_qw, ca_qs, ca_qz, cp_qw, cp_qs, cp_qz,
+    f12_qw, f12_qs, f12_qz, mp_qw, mp_qs, mp_qz,
+    hd_qw, hd_qs, hd_qz,
+    kc_in, vc_in,
+    lo_ref, kc_out, vc_out,
+    xs, h, qkv, fg, gg, q3, knew, vnew, logits_s,
+    *, L, D, I, H, S, hs, gs, V,
+    bn_ca, bn_cp, bn_f12, bn_mp, bn_hd, bs, packed, cdtype,
+):
+    wp = wp_ref[0]
+    limit = limit_ref[0]
+
+    xs[:] = jnp.zeros_like(xs)
+    xs[0:1, :] = x_ref[:].astype(jnp.float32)
+    cosf = cos_ref[:].astype(jnp.float32)  # (1, hs)
+    sinf = sin_ref[:]
+    rot = pltpu.roll
+
+    def layer(l, carry):
+        # ---- attention half --------------------------------------------
+        h[:] = _rms_norm_rows(xs[:], rms1_ref.at[pl.ds(l, 1)])
+        _mv_int4(h, qkv, ca_qw, ca_qs, ca_qz, K=D, N=3 * D, gs=gs, bn=bn_ca,
+                 cdtype=cdtype, layer=l)
+        for head in range(H):
+            qh = qkv[0:1, head * hs : (head + 1) * hs].astype(jnp.float32)
+            kh = qkv[0:1, D + head * hs : D + (head + 1) * hs].astype(jnp.float32)
+            vh = qkv[0:1, 2 * D + head * hs : 2 * D + (head + 1) * hs]
+            q3[head : head + 1, :] = qh * cosf + rot(qh, hs // 2, axis=1) * sinf
+            krow = kh * cosf + rot(kh, hs // 2, axis=1) * sinf
+            if packed:
+                knew[head : head + 1, :] = _bf16_bits(krow)
+                vnew[head : head + 1, :] = _bf16_bits(vh.astype(jnp.float32))
+            else:
+                knew[head, 0:1, :] = krow.astype(knew.dtype)
+                vnew[head, 0:1, :] = vh.astype(vnew.dtype)
+
+        if packed:
+            wr = wp // 2
+            hi_half = jax.lax.rem(wp, 2) == 1
+
+            def write_rows(kb, vb, sems):
+                rk = pltpu.make_async_copy(
+                    kc_out.at[l, 0, :, pl.ds(wr, 1), :], kb, sems.at[0]
+                )
+                rv = pltpu.make_async_copy(
+                    vc_out.at[l, 0, :, pl.ds(wr, 1), :], vb, sems.at[1]
+                )
+                rk.start(); rv.start(); rk.wait(); rv.wait()
+                oldk = kb[:, 0, :]
+                kb[:, 0, :] = jnp.where(
+                    hi_half,
+                    (oldk & jnp.uint32(0xFFFF)) | (knew[:] << 16),
+                    (oldk & jnp.uint32(0xFFFF0000)) | knew[:],
+                )
+                oldv = vb[:, 0, :]
+                vb[:, 0, :] = jnp.where(
+                    hi_half,
+                    (oldv & jnp.uint32(0xFFFF)) | (vnew[:] << 16),
+                    (oldv & jnp.uint32(0xFFFF0000)) | vnew[:],
+                )
+                wk = pltpu.make_async_copy(
+                    kb, kc_out.at[l, 0, :, pl.ds(wr, 1), :], sems.at[0]
+                )
+                wv = pltpu.make_async_copy(
+                    vb, vc_out.at[l, 0, :, pl.ds(wr, 1), :], sems.at[1]
+                )
+                wk.start(); wv.start(); wk.wait(); wv.wait()
+
+            pl.run_scoped(
+                write_rows,
+                pltpu.VMEM((H, 1, hs), jnp.uint32),
+                pltpu.VMEM((H, 1, hs), jnp.uint32),
+                pltpu.SemaphoreType.DMA((2,)),
+            )
+        else:
+
+            def write_rows(sems):
+                kd = pltpu.make_async_copy(
+                    knew, kc_out.at[l, 0, :, pl.ds(wp, 1), :], sems.at[0]
+                )
+                vd = pltpu.make_async_copy(
+                    vnew, vc_out.at[l, 0, :, pl.ds(wp, 1), :], sems.at[1]
+                )
+                kd.start(); vd.start(); kd.wait(); vd.wait()
+
+            pl.run_scoped(write_rows, pltpu.SemaphoreType.DMA((2,)))
+
+        def att_out(y_s):
+            _decode_attention(q3, kc_out, vc_out, y_s, limit, H=H, S=S, hs=hs,
+                              bs=bs, packed=packed, cdtype=cdtype, layer=l)
+            h[:] = jnp.zeros_like(h)
+            for head in range(H):
+                h[0:1, head * hs : (head + 1) * hs] = y_s[head : head + 1, :]
+
+        pl.run_scoped(att_out, pltpu.VMEM((H, hs), jnp.float32))
+
+        _mv_int4(h, xs, cp_qw, cp_qs, cp_qz, K=D, N=D, gs=gs, bn=bn_cp,
+                 cdtype=cdtype, residual_ref=xs, layer=l)
+
+        # ---- MLP half ---------------------------------------------------
+        h[:] = _rms_norm_rows(xs[:], rms2_ref.at[pl.ds(l, 1)])
+        _mv_int4(h, fg, f12_qw, f12_qs, f12_qz, K=D, N=2 * I, gs=gs,
+                 bn=bn_f12, cdtype=cdtype, layer=l)
+        gg[:] = jax.nn.silu(fg[:, :I]) * fg[:, I:]
+        _mv_int4(gg, xs, mp_qw, mp_qs, mp_qz, K=I, N=D, gs=gs, bn=bn_mp,
+                 cdtype=cdtype, residual_ref=xs, layer=l)
+        return carry
+
+    jax.lax.fori_loop(0, L, layer, 0)
+
+    # ---- final norm + lm_head ------------------------------------------
+    h[:] = _rms_norm_rows(xs[:], lnf_ref)
+    _mv_int4(h, logits_s, hd_qw, hd_qs, hd_qz, K=D, N=V, gs=gs, bn=bn_hd,
+             cdtype=cdtype)
+    lo_ref[:] = logits_s[0:1, :].astype(lo_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "D", "I", "H", "S", "hs", "gs", "V", "cdtype",
+                     "interpret"),
+)
+def _call_step(
+    wp, limit, x, rms1, rms2, cosf, sinf, lnf, mega, head, kc, vc,
+    *, L, D, I, H, S, hs, gs, V, cdtype, interpret=False,
+):
+    packed = kc.dtype == jnp.uint32
+    bs = _pick_bs(S, H, hs, 2 if packed else kc.dtype.itemsize)
+    kernel = functools.partial(
+        _step_kernel, L=L, D=D, I=I, H=H, S=S, hs=hs, gs=gs, V=V,
+        bn_ca=_pick_bn(3 * D, D), bn_cp=_pick_bn(D, D),
+        bn_f12=_pick_bn(2 * I, D), bn_mp=_pick_bn(D, I),
+        bn_hd=_pick_bn(V, D), bs=bs, packed=packed, cdtype=jnp.dtype(cdtype),
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    new_shape = (
+        (pltpu.VMEM((H, hs), jnp.uint32),) * 2
+        if packed
+        else (pltpu.VMEM((H, 1, hs), kc.dtype),) * 2
+    )
+    kbytes = (D * D // 2 * 4 + D * I // 2 * 3) * L + D * V // 2
+    hs_pair = _scale_pair(head)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, V), x.dtype),
+            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+        ),
+        in_specs=[smem, smem] + [vmem] * 6 + [hbm] * 15 + [hbm, hbm],
+        out_specs=(vmem, hbm, hbm),
+        input_output_aliases={23: 1, 24: 2},  # kc, vc update in place
+        scratch_shapes=[
+            pltpu.VMEM((8, D), jnp.float32),       # xs
+            pltpu.VMEM((8, D), jnp.float32),       # h
+            pltpu.VMEM((8, 3 * D), jnp.float32),   # qkv
+            pltpu.VMEM((8, 2 * I), jnp.float32),   # fc12 out
+            pltpu.VMEM((8, I), jnp.float32),       # gate
+            pltpu.VMEM((H, hs), jnp.float32),      # q3
+            new_shape[0],                          # knew
+            new_shape[1],                          # vnew
+            pltpu.VMEM((8, V), jnp.float32),       # logits
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * (4 * D * D + 3 * D * I) + 4 * H * S * hs) * L
+            + 2 * D * V,
+            bytes_accessed=kbytes + 2 * H * S * hs * 2 * L,
+            transcendentals=(H * S + 2 * I) * L,
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        wp, limit, x, rms1, rms2, cosf, sinf, lnf.reshape(1, D),
+        mega["ca_qw"], mega["ca_qs"], mega["ca_qz"],
+        mega["cp_qw"], mega["cp_qs"], mega["cp_qz"],
+        mega["f12_qw"], mega["f12_qs"], mega["f12_qz"],
+        mega["mp_qw"], mega["mp_qs"], mega["mp_qz"],
+        head["qw"], hs_pair[0], hs_pair[1],
+        kc, vc,
+    )
+    return out
+
+
+def decode_step_fused(
+    x: jnp.ndarray,  # (1, D) compute dtype (embedded token)
+    params: Params,  # prepared params carrying "mega" (prepare_step_fused)
+    kv: Dict[str, jnp.ndarray],  # STACKED {"k","v"}: (L, 1, H, S[,//2], hs)
+    cosf: jnp.ndarray,
+    sinf: jnp.ndarray,
+    write_pos: jnp.ndarray,  # () int32 ring slot (= pos % S)
+    limit: jnp.ndarray,  # () int32 visibility bound (= pos)
+    config,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """One FULL decode step (all layers + final norm + lm_head) in one Pallas
+    launch. Returns (logits (1, V), updated stacked cache)."""
+    mega = params["mega"]
+    D, H, hs = config.n_embd, config.n_head, config.head_size
+    I, L = config.intermediate_size, config.n_layer
+    packed = kv["k"].dtype == jnp.uint32
+    S = kv["k"].shape[-2] * (2 if packed else 1)
+    V = params["lm_head"]["qw"].shape[-1]
+    logits, kc, vc = _call_step(
+        jnp.asarray(write_pos, jnp.int32).reshape(1),
+        jnp.asarray(limit, jnp.int32).reshape(1),
+        x, mega["rms_1"], mega["rms_2"], cosf, sinf, params["ln_f"],
+        mega, params["lm_head"], kv["k"], kv["v"],
+        L=L, D=D, I=I, H=H, S=S, hs=hs, gs=config.quant_groupsize, V=V,
+        cdtype=jnp.dtype(config.compute_dtype).name, interpret=interpret,
+    )
+    return logits, {"k": kc, "v": vc}
+
+
+def prepare_step_fused(params: Params, config) -> Params:
+    """Stack the prepared per-layer planes into the megakernel's (L, ...)
+    layout under ``params["mega"]``. Run AFTER prepare_fused_params (half
+    basis + blocked scales). The per-layer tuple stays for prefill; the
+    stacked copy costs one extra weight-size allocation (~3.3 GB at 7B int4),
+    paid only on the single-stream decode path that uses the megakernel."""
+    h = params["h"]
+    if not isinstance(h, (list, tuple)) or "qscale_b" not in h[0]["attn"]["c_attn"]:
+        raise ValueError("prepare_step_fused needs prepare_fused_params output")
+    if "lora_af" in h[0]["attn"]["c_attn"]:
+        raise ValueError("megakernel has no LoRA branch yet (per-layer path has)")
+
+    def stack(path):
+        def get(lp):
+            node = lp
+            for k in path:
+                node = node[k]
+            return node
+
+        return jnp.stack([get(lp) for lp in h])
+
+    mega = {
+        "rms_1": stack(("rms_1",)),
+        "rms_2": stack(("rms_2",)),
+        "ca_qw": stack(("attn", "c_attn", "qw")),
+        "ca_qs": stack(("attn", "c_attn", "qscale_b")),
+        "ca_qz": stack(("attn", "c_attn", "qzero_b")),
+        "cp_qw": stack(("attn", "c_proj", "qw")),
+        "cp_qs": stack(("attn", "c_proj", "qscale_b")),
+        "cp_qz": stack(("attn", "c_proj", "qzero_b")),
+        "f12_qw": stack(("mlp", "c_fc12", "qw")),
+        "f12_qs": stack(("mlp", "c_fc12", "qscale_b")),
+        "f12_qz": stack(("mlp", "c_fc12", "qzero_b")),
+        "mp_qw": stack(("mlp", "c_proj", "qw")),
+        "mp_qs": stack(("mlp", "c_proj", "qscale_b")),
+        "mp_qz": stack(("mlp", "c_proj", "qzero_b")),
+    }
+    out = dict(params)
+    out["mega"] = mega
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Batched (serving) block-half kernels: the slot_pos decode step at B slots.
 # The per-slot attention + cache write lives in its own kernel
 # (ops/decode_attention.decode_attention_write_pallas); these two fuse
@@ -966,10 +1269,15 @@ def fused_layer_supported(config, params) -> bool:
     )
 
 
-def maybe_prepare_fused(params: Params, config) -> Tuple[Params, Any]:
+def maybe_prepare_fused(params: Params, config, mega: bool = False) -> Tuple[Params, Any]:
     """Dispatch wrapper for CLIs: prepare the fused-kernel layout when the
     model qualifies and we're on real TPU hardware (interpret mode covers CPU
-    in tests). Opt out with LIT_LLAMA_TPU_FUSED=0 (A/B tool)."""
+    in tests). Opt out with LIT_LLAMA_TPU_FUSED=0 (A/B tool).
+
+    ``mega=True`` (single-stream decode CLIs): additionally stack the planes
+    for the whole-step megakernel — costs one extra weight-size allocation,
+    so serving/batched callers leave it off. LIT_LLAMA_TPU_MEGA=0 disables
+    just the megakernel (A/B against the per-layer fused path)."""
     import os
 
     if config.rope_layout == "half":  # already prepared — never permute twice
@@ -980,7 +1288,15 @@ def maybe_prepare_fused(params: Params, config) -> Tuple[Params, Any]:
         return params, config
     if not fused_layer_supported(config, params):
         return params, config
-    return prepare_fused_params(params, config)
+    params, config = prepare_fused_params(params, config)
+    if (
+        mega
+        and os.environ.get("LIT_LLAMA_TPU_MEGA", "1") != "0"
+        and config.lora is None
+        and config.adapter is None
+    ):
+        params = prepare_step_fused(params, config)
+    return params, config
 
 
 def _add_blocked_scales(w: Params, gs: int) -> Params:

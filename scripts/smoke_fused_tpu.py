@@ -125,6 +125,33 @@ def main() -> None:
         failures += 1
         print(f"decode_attention_write: EXCEPTION {type(e).__name__}: {str(e)[:400]}")
 
+    # --- whole-step megakernel (fori_loop + dynamic-layer DMAs) ---------------
+    try:
+        mparams = fused_layer.prepare_step_fused(fparams, fcfg)
+        stacked = {n: fused_layer.pack_kv(jnp.stack([c] * cfg.n_layer))
+                   for n, c in kv.items()}
+        xr = x
+        ref_layers = []
+        for lpp, _ in zip(mparams["h"], range(cfg.n_layer)):
+            xr, _kv = fused_layer.decode_layer_fused(
+                xr, lpp, dict(kvp), cosf, sinf, pos % S, pos, fcfg
+            )
+        ref_logits = fused_layer.lm_head_fused(
+            xr, mparams["ln_f"], mparams["lm_head"], fcfg
+        )
+        got_logits, _skv = fused_layer.decode_step_fused(
+            x, mparams, stacked, cosf, sinf, pos % S, pos, fcfg
+        )
+        err = float(jnp.max(jnp.abs(
+            got_logits.astype(jnp.float32) - ref_logits.astype(jnp.float32)
+        )))
+        ok = err < 0.1
+        failures += not ok
+        print(f"decode_step_fused (megakernel): {'OK' if ok else 'FAIL'} (|d|={err:.4f})")
+    except Exception as e:  # noqa: BLE001
+        failures += 1
+        print(f"decode_step_fused: EXCEPTION {type(e).__name__}: {str(e)[:400]}")
+
     # --- pipelined write+attention (both formulations) -----------------------
     from lit_llama_tpu.ops.decode_attention import decode_attention_write_pipelined
 
