@@ -246,6 +246,9 @@ def run_bench() -> None:
         "value": round(tok_s, 2),
         "unit": "tokens/sec/chip",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+        # cold-compile latency is a tracked metric (it reached 136.6 s in r3
+        # and feeds TTFT); the persistent compile cache makes warm runs ~free
+        "compile_s": round(compile_s, 1),
     }
     notes = [
         f"headline compile {compile_s:.1f}s runs {[f'{t:.2f}' for t in times]}"

@@ -75,9 +75,12 @@ def main(
                 block_size=256, vocab_size=256, n_layer=2, n_head=4, n_embd=64,
                 quantize="int4", quant_groupsize=32,
             )
-        params = jax.jit(benchmod.random_int4_params, static_argnums=0)(
-            config, jax.random.PRNGKey(0)
+        maker = (
+            benchmod.random_int8_params
+            if config.quantize == "int8"
+            else benchmod.random_int4_params
         )
+        params = jax.jit(maker, static_argnums=0)(config, jax.random.PRNGKey(0))
         jax.block_until_ready(params)
 
     rng = np.random.default_rng(0)
