@@ -146,6 +146,9 @@ def _measure_serving(params, config, max_batch: int = 32):
         rng.integers(1, config.vocab_size, size=int(n)).astype(np.int32)
         for n in lens
     ]
+    # the serving engine never runs the single-stream megakernel — drop its
+    # stacked weight copy (~3.3 GB at 7B) before the cache allocates
+    params = {k: v for k, v in params.items() if k != "mega"}
     engine = DecodeEngine(
         params, config, max_batch=max_batch, max_seq_length=max_seq,
         steps_per_sync=8, prefill_chunk=512, prefill_budget=1024,

@@ -603,3 +603,37 @@ def test_mega_generate_matches_standard(prepared_mega):
             mparams, prompt, n_new, config=fcfg, max_seq_length=S, temperature=0.0
         )
     assert got.tolist() == ref.tolist()
+
+
+def test_arith_unpack_matches_i32(prepared, monkeypatch):
+    """LIT_LLAMA_TPU_UNPACK=arith (floor/multiply-subtract nibble decode) is
+    bit-identical to the i32 shift/mask path in f32 compute."""
+    monkeypatch.setenv("LIT_LLAMA_TPU_UNPACK", "arith")
+    cfg, _, fparams, fcfg = prepared
+    D, H, hs = cfg.n_embd, cfg.n_head, cfg.head_size
+    S = 128
+    rng = np.random.default_rng(77)
+    kv = {
+        "k": jnp.asarray(rng.normal(size=(1, H, S, hs)) * 0.3, jnp.float32),
+        "v": jnp.asarray(rng.normal(size=(1, H, S, hs)) * 0.3, jnp.float32),
+    }
+    x = jnp.asarray(rng.normal(size=(1, D)) * 0.5, jnp.float32)
+    lp = fparams["h"][0]
+    pos = jnp.int32(11)
+    rope_cache = build_rope_cache(fcfg.block_size, hs)
+    cosf, sinf = rope_half_row(rope_cache, pos, hs)
+    # fresh trace per env value: the flag is read at TRACE time, so clear the
+    # jit cache of the wrapped call
+    fused_layer._call_layer.clear_cache()
+    with pltpu.force_tpu_interpret_mode():
+        got_arith, _ = fused_layer.decode_layer_fused(
+            x, lp, kv, cosf, sinf, pos % S, pos, fcfg
+        )
+    monkeypatch.setenv("LIT_LLAMA_TPU_UNPACK", "i32")
+    fused_layer._call_layer.clear_cache()
+    with pltpu.force_tpu_interpret_mode():
+        got_i32, _ = fused_layer.decode_layer_fused(
+            x, lp, kv, cosf, sinf, pos % S, pos, fcfg
+        )
+    fused_layer._call_layer.clear_cache()
+    np.testing.assert_array_equal(np.asarray(got_arith), np.asarray(got_i32))

@@ -92,3 +92,27 @@ def test_cli_parses_types(capsys):
 
     cli(main, ["--a", "3", "--b", "2.5", "--flag", "true", "--name", "hi"])
     assert calls == {"a": 3, "b": 2.5, "flag": True, "name": "hi"}
+
+
+def test_comm_anatomy_census_parses_hlo_collectives():
+    """scripts/comm_anatomy.py HLO census: op kinds and byte counts."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "_comm_anatomy",
+        Path(__file__).parent.parent / "scripts" / "comm_anatomy.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    hlo = """
+  %ar = f32[8,1,5120]{2,1,0} all-reduce(f32[8,1,5120] %x), replica_groups={{0,1}}
+  %ag = f32[8,1,32000]{1,0,2} all-gather(f32[8,1,16000] %y), dimensions={2}
+  %dot = bf16[8,128]{1,0} dot(bf16[8,64] %a, bf16[64,128] %b)
+"""
+    rows = mod.census(hlo)
+    kinds = sorted(k for k, _, _ in rows)
+    assert kinds == ["all-gather", "all-reduce"]
+    by_kind = {k: b for k, _, b in rows}
+    assert by_kind["all-reduce"] == 8 * 1 * 5120 * 4
+    assert by_kind["all-gather"] == 8 * 1 * 32000 * 4
