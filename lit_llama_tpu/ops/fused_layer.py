@@ -143,6 +143,29 @@ def blocked_scales(qs: jnp.ndarray, K: int, N: int, gs: int) -> jnp.ndarray:
     return q.reshape(G8, N // bn, bn).transpose(1, 0, 2)
 
 
+def quad_view(qw: jnp.ndarray, bn: int) -> jnp.ndarray:
+    """(…, Kh, N) u8 packed plane -> (…, Kh, N/4) u32 words for the
+    megakernel's dynamic-layer DMAs (sub-32-bit dtypes at dynamic DMA offsets
+    are fatal to this Mosaic toolchain — module docstring).
+
+    Within every ``bn``-column DMA block, byte i of word w holds LOGICAL
+    column i*bn/4 + w, so the in-kernel byte extraction ``(word >> 8i) & 0xFF``
+    yields the block's i-th quarter as a contiguous, naturally-ordered
+    (Kh, bn/4) plane — scales, zero planes and the output stay in logical
+    column order."""
+    lead, Kh, N = qw.shape[:-2], qw.shape[-2], qw.shape[-1]
+    assert N % bn == 0 and bn % 4 == 0, (N, bn)
+    bnw = bn // 4
+    blocks = qw.reshape(*lead, Kh, N // bn, bn)
+    s = jnp.arange(bn)
+    logical = (s % 4) * bnw + s // 4  # storage column s <- logical column
+    blocks = blocks[..., logical]
+    words = jax.lax.bitcast_convert_type(
+        blocks.reshape(*lead, Kh, N // bn, bnw, 4), jnp.uint32
+    )
+    return words.reshape(*lead, Kh, N // 4)
+
+
 def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
              residual_ref=None, sublanes=8, layer=None):
     """dst[:, :N] = src @ dequant(qw) (+ residual), streaming the weight.
@@ -159,6 +182,8 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
     Gh = G // 2
     Kh = K // 2
     NB = N // bn
+    quad = qw.dtype == jnp.uint32  # quad_view words (dynamic-DMA-legal u32)
+    bnw = bn // 4  # word columns per block in quad mode
     # blocked scale planes (NB, G8, bn) from blocked_scales(): contiguous
     # leading-index DMA reads into 8-aligned buffer planes. The legacy (G, N)
     # layout (interpret tests, unprepared params) DMAs column slices — only
@@ -179,21 +204,22 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
 
     def stage(wbuf, sbuf, zbuf, sems):
         def dmas(slot, nb):
-            n0 = nb * bn
+            n0 = nb * bnw if quad else nb * bn
+            wn = bnw if quad else bn
             if layer is None:
-                w_src = qw.at[:, pl.ds(n0, bn)]
+                w_src = qw.at[:, pl.ds(n0, wn)]
                 if blocked:
                     s_src, z_src = qs.at[nb], qz.at[nb]
                 else:
-                    s_src = qs.at[:, pl.ds(n0, bn)]
-                    z_src = qz.at[:, pl.ds(n0, bn)]
+                    s_src = qs.at[:, pl.ds(nb * bn, bn)]
+                    z_src = qz.at[:, pl.ds(nb * bn, bn)]
             else:
-                w_src = qw.at[layer, :, pl.ds(n0, bn)]
+                w_src = qw.at[layer, :, pl.ds(n0, wn)]
                 if blocked:
                     s_src, z_src = qs.at[layer, nb], qz.at[layer, nb]
                 else:
-                    s_src = qs.at[layer, :, pl.ds(n0, bn)]
-                    z_src = qz.at[layer, :, pl.ds(n0, bn)]
+                    s_src = qs.at[layer, :, pl.ds(nb * bn, bn)]
+                    z_src = qz.at[layer, :, pl.ds(nb * bn, bn)]
             return (
                 pltpu.make_async_copy(w_src, wbuf.at[slot], sems.at[slot, 0]),
                 pltpu.make_async_copy(s_src, sbuf.at[slot], sems.at[slot, 1]),
@@ -221,7 +247,9 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
                     d.start()
             for d in dmas(slot, nb):
                 d.wait()
-            if arith_unpack:
+            if quad:
+                pw = wbuf[slot]  # (Kh, bnw) u32 column-quad words
+            elif arith_unpack:
                 pf = wbuf[slot].astype(cdtype)  # (Kh, bn) exact byte values
             else:
                 p32 = wbuf[slot].astype(jnp.int32)  # (Kh, bn)
@@ -234,6 +262,29 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
                 preferred_element_type=jnp.float32,
             )
             for g in range(Gh):
+                xlo = src_ref[:, g * gs : (g + 1) * gs].astype(cdtype)
+                xhi = src_ref[:, Kh + g * gs : Kh + (g + 1) * gs].astype(cdtype)
+                if quad:
+                    words = pw[g * gs : (g + 1) * gs]
+                    for i in range(4):
+                        byte = (words >> (8 * i)) & jnp.uint32(0xFF)
+                        b32 = byte.astype(jnp.int32)
+                        low_q = (b32 & 0xF).astype(cdtype)
+                        high_q = (b32 >> 4).astype(cdtype)
+                        lo_dot = jax.lax.dot_general(
+                            xlo, low_q, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        hi_dot = jax.lax.dot_general(
+                            xhi, high_q, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        cs = slice(i * bnw, (i + 1) * bnw)
+                        acc = acc.at[:, cs].add(
+                            lo_dot * sbuf[slot][g : g + 1, cs]
+                            + hi_dot * sbuf[slot][Gh + g : Gh + g + 1, cs]
+                        )
+                    continue
                 if arith_unpack:
                     brows = pf[g * gs : (g + 1) * gs]
                     high_q = jnp.floor(brows * jnp.asarray(0.0625, cdtype))
@@ -242,8 +293,6 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
                     rows = p32[g * gs : (g + 1) * gs]
                     low_q = (rows & 0xF).astype(cdtype)
                     high_q = (rows >> 4).astype(cdtype)
-                xlo = src_ref[:, g * gs : (g + 1) * gs].astype(cdtype)
-                xhi = src_ref[:, Kh + g * gs : Kh + (g + 1) * gs].astype(cdtype)
                 lo_dot = jax.lax.dot_general(
                     xlo, low_q, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -260,7 +309,9 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
 
     pl.run_scoped(
         stage,
-        pltpu.VMEM((2, Kh, bn), jnp.uint8),
+        pltpu.VMEM((2, Kh, bnw), jnp.uint32)
+        if quad
+        else pltpu.VMEM((2, Kh, bn), jnp.uint8),
         pltpu.VMEM((2, G8, bn), jnp.float32),
         pltpu.VMEM((2, G8, bn), jnp.float32),
         pltpu.SemaphoreType.DMA((2, 3)),
@@ -960,19 +1011,33 @@ def prepare_step_fused(params: Params, config) -> Params:
 
         return jnp.stack([get(lp) for lp in h])
 
+    # LIT_LLAMA_TPU_MEGA_QUAD=1: store the weight planes as quad_view u32
+    # words — the u8 planes' DMAs carry a DYNAMIC layer offset inside the
+    # megakernel, which is the dtype class the round-3 bisect found fatal on
+    # this Mosaic toolchain; u32 words are the proven-legal fallback. Costs
+    # one extra in-kernel byte extraction per value. Default u8 until the
+    # on-chip smoke decides (scripts/smoke_fused_tpu.py).
+    import os
+
+    D, I = config.n_embd, config.intermediate_size
+    quad = os.environ.get("LIT_LLAMA_TPU_MEGA_QUAD", "0") == "1"
+
+    def wq(plane, N, K):
+        return quad_view(plane, _pick_bn(N, K)) if quad else plane
+
     mega = {
         "rms_1": stack(("rms_1",)),
         "rms_2": stack(("rms_2",)),
-        "ca_qw": stack(("attn", "c_attn", "qw")),
+        "ca_qw": wq(stack(("attn", "c_attn", "qw")), 3 * D, D),
         "ca_qs": stack(("attn", "c_attn", "qscale_b")),
         "ca_qz": stack(("attn", "c_attn", "qzero_b")),
-        "cp_qw": stack(("attn", "c_proj", "qw")),
+        "cp_qw": wq(stack(("attn", "c_proj", "qw")), D, D),
         "cp_qs": stack(("attn", "c_proj", "qscale_b")),
         "cp_qz": stack(("attn", "c_proj", "qzero_b")),
-        "f12_qw": stack(("mlp", "c_fc12", "qw")),
+        "f12_qw": wq(stack(("mlp", "c_fc12", "qw")), 2 * I, D),
         "f12_qs": stack(("mlp", "c_fc12", "qscale_b")),
         "f12_qz": stack(("mlp", "c_fc12", "qzero_b")),
-        "mp_qw": stack(("mlp", "c_proj", "qw")),
+        "mp_qw": wq(stack(("mlp", "c_proj", "qw")), D, I),
         "mp_qs": stack(("mlp", "c_proj", "qscale_b")),
         "mp_qz": stack(("mlp", "c_proj", "qzero_b")),
     }

@@ -131,25 +131,31 @@ def main() -> None:
     # this Mosaic toolchain — run it in a subprocess so a hard crash reports
     # as a failure instead of killing the rest of the smoke.
     if "--mega-inline" not in sys.argv:
+        import os
         import subprocess
 
-        proc = subprocess.run(
-            [sys.executable, str(Path(__file__).resolve()), "--mega-inline"],
-            capture_output=True, text=True, timeout=1800,
-        )
-        out = (proc.stdout or "").strip().splitlines()
-        mega_line = next(
-            (ln for ln in out if ln.startswith("decode_step_fused")), None
-        )
-        if proc.returncode == 0 and mega_line and "OK" in mega_line:
-            print(mega_line)
-        else:
-            failures += 1
+        for quad in ("0", "1"):
+            env = dict(os.environ, LIT_LLAMA_TPU_MEGA_QUAD=quad)
+            proc = subprocess.run(
+                [sys.executable, str(Path(__file__).resolve()), "--mega-inline"],
+                capture_output=True, text=True, timeout=1800, env=env,
+            )
+            out = (proc.stdout or "").strip().splitlines()
+            mega_line = next(
+                (ln for ln in out if ln.startswith("decode_step_fused")), None
+            )
+            label = "u8 planes" if quad == "0" else "quad_view u32 planes"
+            if proc.returncode == 0 and mega_line and "OK" in mega_line:
+                print(f"{mega_line} [{label}]")
+                break  # u8 legal: no need to validate the fallback layout
             tail = (proc.stderr or proc.stdout or "").strip()[-300:]
             print(
-                f"decode_step_fused: {'CRASH rc=' + str(proc.returncode) if proc.returncode else 'FAIL'}"
+                f"decode_step_fused [{label}]: "
+                f"{'CRASH rc=' + str(proc.returncode) if proc.returncode else 'FAIL'}"
                 f" {mega_line or tail}"
             )
+            if quad == "1":  # both layouts failed
+                failures += 1
     else:
         try:
             mparams = fused_layer.prepare_step_fused(fparams, fcfg)
