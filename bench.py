@@ -146,9 +146,6 @@ def _measure_serving(params, config, max_batch: int = 32):
         rng.integers(1, config.vocab_size, size=int(n)).astype(np.int32)
         for n in lens
     ]
-    # the serving engine never runs the single-stream megakernel — drop its
-    # stacked weight copy (~3.3 GB at 7B) before the cache allocates
-    params = {k: v for k, v in params.items() if k != "mega"}
     engine = DecodeEngine(
         params, config, max_batch=max_batch, max_seq_length=max_seq,
         steps_per_sync=8, prefill_chunk=512, prefill_budget=1024,
@@ -282,6 +279,10 @@ def run_bench() -> None:
 
         # Serving rows: aggregate tok/s at 32 slots + p50 TTFT (both named
         # BASELINE metrics; previously prose-only — VERDICT r3 missing #4).
+        # The megakernel's stacked weight copy (~3.3 GB) must actually be
+        # FREED before the 32-slot cache allocates — pop it from the caller's
+        # dict so the device buffers drop (a callee-local rebind would not).
+        params.pop("mega", None)
         try:
             serve_tok_s, ttft_p50, warmup_s = _measure_serving(params, config)
             record["extra_rows"] += [
@@ -382,10 +383,16 @@ def main() -> None:
     # degrade the kernel stack across attempts: a Mosaic regression in the
     # NEWEST path (whole-step megakernel) falls back to the per-layer fused
     # kernels, then to the per-op path — the round keeps a verified number.
-    attempt_envs = [{}] * max(1, ATTEMPTS - 2) + [
-        {"LIT_LLAMA_TPU_MEGA": "0"},
-        {"LIT_LLAMA_TPU_FUSED": "0"},
-    ]
+    # LIT_LLAMA_TPU_BENCH_ATTEMPTS bounds the TOTAL attempt count (CI knob):
+    # below 3, the most-degraded fallbacks are kept and plain attempts drop.
+    fallbacks = [{"LIT_LLAMA_TPU_MEGA": "0"}, {"LIT_LLAMA_TPU_FUSED": "0"}]
+    n = max(1, ATTEMPTS)
+    if n >= 3:
+        attempt_envs = [{}] * (n - 2) + fallbacks
+    elif n == 2:
+        attempt_envs = [{}, fallbacks[1]]
+    else:
+        attempt_envs = [{}]
     for i, env in enumerate(attempt_envs):
         rec, err = _attempt(env, ATTEMPT_TIMEOUT_S)
         if rec is not None:

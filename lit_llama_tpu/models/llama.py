@@ -336,7 +336,7 @@ def _causal_self_attention(
         ):
             # the kernel takes the UNWRAPPED position: visibility limit
             # directly, ring write slot via % S in-kernel
-            y, nk, nv = da.decode_attention_write_pallas(
+            y, nk, nv = da.decode_attention_write(
                 q, k, v, kv["k"], kv["v"], limit
             )
             new_kv = {"k": nk, "v": nv}

@@ -477,7 +477,7 @@ def _pipe_kernel(
     o_ref,  # (1, H, hs)
     kc_out,  # ANY aliased cache outputs (written once, last block)
     vc_out,
-    m_s, l_s, acc_s, wsems,
+    m_s, l_s, acc_s,
     *, H, S, hs, bs, packed, mxu,
 ):
     b = pl.program_id(0)
@@ -692,7 +692,6 @@ def decode_attention_write_pipelined(
                 pltpu.VMEM((H, 1), jnp.float32),
                 pltpu.VMEM((H, 1), jnp.float32),
                 pltpu.VMEM((H, hs), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=(

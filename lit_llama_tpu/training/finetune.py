@@ -199,4 +199,6 @@ def run(
             "adapter": "lit-llama-adapter-finetuned",
             "adapter_v2": "lit-llama-adapter-v2-finetuned",
         }[mode]
-        loop_lib.save_train_checkpoint(out_dir, name, state, config, save_filter)
+        if int(state.step) >= max_iters:
+            # a preempted run saved preempt-NNNNNN; don't publish it as done
+            loop_lib.save_train_checkpoint(out_dir, name, state, config, save_filter)

@@ -218,20 +218,16 @@ def train_step(
         )
 
     A = input_ids.shape[0]
-    # seed the accumulator with microbatch 0's gradients instead of zeros:
-    # saves materializing a param-size zero tree plus one full-tree add
-    # (~2 param-sizes of HBM traffic per step — the optimizer update is
-    # bandwidth-bound, so accumulation overhead is pure step time)
-    loss0, grads0 = grad_of(
-        state.params, input_ids[0], targets[0], config, remat, remat_policy
+    # NOTE: seeding the accumulator with microbatch 0's grads (instead of a
+    # zero tree) was tried and reverted — it inlines a SECOND copy of the
+    # remat'd forward+backward next to the scan body, roughly doubling the
+    # train-step compile for a ~0.5% step-time saving at the 0.44B config.
+    zero_grads = jax.tree_util.tree_map(
+        lambda p: jnp.zeros(p.shape, jnp.float32), state.params
     )
-    grads0 = jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads0)
-    if A > 1:
-        (loss_sum, grads), _ = jax.lax.scan(
-            micro, (loss0, grads0), (input_ids[1:], targets[1:])
-        )
-    else:
-        loss_sum, grads = loss0, grads0
+    (loss_sum, grads), _ = jax.lax.scan(
+        micro, (jnp.float32(0.0), zero_grads), (input_ids, targets)
+    )
     grads = jax.tree_util.tree_map(lambda g: g / A, grads)
     updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)

@@ -217,7 +217,10 @@ def main(
             state, train_gen(), config, optimizer, lc, validate_fn=validate_fn,
             remat_policy=remat_policy,
         )
-        loop_lib.save_train_checkpoint(Path(out_dir), "final", state, config)
+        if int(state.step) >= max_iters:
+            # only a COMPLETED run earns "final" — a SIGTERM/preempt stop
+            # already saved preempt-NNNNNN and must not masquerade as done
+            loop_lib.save_train_checkpoint(Path(out_dir), "final", state, config)
 
 
 if __name__ == "__main__":

@@ -2,35 +2,72 @@
 # Supervise a pretrain run against axon-relay hangs: the failure mode is a
 # live process whose device call never returns — metrics.jsonl stops aging
 # while the PID stays up. The watchdog owns the training process (kills ONLY
-# its own child) and resumes from the newest iter-* checkpoint.
-# Usage: bash scripts/train_watchdog.sh <out_dir> -- <pretrain args...>
+# its own child, the python process itself — no timeout wrapper, which would
+# orphan it) and resumes from the newest VALID iter-* checkpoint.
+#
+# Usage: TARGET_ITER=8000 bash scripts/train_watchdog.sh <out_dir> -- python pretrain/... args
 set -u
 OUT=$1; shift
 [ "$1" = "--" ] && shift
-STALL_S=${STALL_S:-300}
+STALL_S=${STALL_S:-300}       # no metrics progress for this long = hung
+GRACE_S=${GRACE_S:-600}       # startup budget: resume load + compile + first step
+MAX_CHILD_S=${MAX_CHILD_S:-18000}
+TARGET_ITER=${TARGET_ITER:-0} # completion = metrics reaches this iter (0: final/ only)
+
+log() { echo "watchdog: $* $(date -u +%H:%M:%S)" >> "$OUT/watchdog.log"; }
+
+done_yet() {
+  [ -d "$OUT/final" ] && return 0
+  if [ "$TARGET_ITER" -gt 0 ] && [ -f "$OUT/metrics.jsonl" ]; then
+    LAST=$(tail -5 "$OUT/metrics.jsonl" | sed -n 's/.*"iter": \([0-9]*\).*/\1/p' | sort -n | tail -1)
+    [ -n "$LAST" ] && [ "$LAST" -ge $((TARGET_ITER - 1)) ] && return 0
+  fi
+  return 1
+}
 
 while :; do
-  if [ -d "$OUT/final" ]; then
-    echo "watchdog: $OUT/final exists — training complete" >> "$OUT/watchdog.log"
+  if done_yet; then
+    log "complete"
     exit 0
   fi
-  CK=$(ls -d "$OUT"/iter-* 2>/dev/null | sort | tail -1)
+  # newest VALID checkpoint only: a kill can land mid-save; manifest.json is
+  # written last, so a dir without one is partial and must be skipped
+  CK=$(
+    for d in "$OUT"/iter-* "$OUT"/preempt-*; do
+      [ -f "$d/manifest.json" ] || continue
+      step=$(basename "$d" | tr -cd '0-9')
+      echo "$step $d"
+    done | sort -n -r | head -1 | cut -d' ' -f2
+  )
   RESUME=()
   [ -n "$CK" ] && RESUME=(--resume "$CK")
-  echo "watchdog: launching (resume=${CK:-none}) $(date -u +%H:%M:%S)" >> "$OUT/watchdog.log"
-  timeout 18000 python "$@" "${RESUME[@]}" >> "$OUT/train_r4.log" 2>&1 &
+  log "launching (resume=${CK:-none})"
+  "$@" "${RESUME[@]}" >> "$OUT/train_r4.log" 2>&1 &
   CHILD=$!
-  sleep 180  # compile + first steps
+  LAUNCH=$(date +%s)
   while kill -0 "$CHILD" 2>/dev/null; do
     sleep 60
-    AGE=$(( $(date +%s) - $(stat -c %Y "$OUT/metrics.jsonl" 2>/dev/null || echo 0) ))
-    if [ "$AGE" -gt "$STALL_S" ]; then
-      echo "watchdog: stall ${AGE}s — killing $CHILD $(date -u +%H:%M:%S)" >> "$OUT/watchdog.log"
+    NOW=$(date +%s)
+    MT=$(stat -c %Y "$OUT/metrics.jsonl" 2>/dev/null || echo "$LAUNCH")
+    REF=$(( MT > LAUNCH ? MT : LAUNCH ))  # progress clock starts at launch
+    AGE=$(( NOW - REF ))
+    LIMIT=$STALL_S
+    [ "$MT" -le "$LAUNCH" ] && LIMIT=$GRACE_S  # still starting up
+    if [ "$AGE" -gt "$LIMIT" ] || [ $(( NOW - LAUNCH )) -gt "$MAX_CHILD_S" ]; then
+      log "stall ${AGE}s (limit ${LIMIT}s) — killing $CHILD"
       kill "$CHILD" 2>/dev/null
       sleep 10
       kill -9 "$CHILD" 2>/dev/null
       sleep 5
       break
+    fi
+    if done_yet; then
+      log "target reached — stopping child $CHILD"
+      kill "$CHILD" 2>/dev/null
+      sleep 10
+      kill -9 "$CHILD" 2>/dev/null
+      log "complete"
+      exit 0
     fi
   done
   wait "$CHILD" 2>/dev/null
