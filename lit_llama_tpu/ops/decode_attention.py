@@ -495,19 +495,56 @@ def _pipe_kernel(
         l_s[:] = jnp.zeros_like(l_s)
         acc_s[:] = jnp.zeros_like(acc_s)
 
+    def _blockdiag_mask(rows):
+        # (H, H*rows) f32: mask[h, j*rows+r] = (j == h). 2-D iotas only.
+        r = jax.lax.broadcasted_iota(jnp.int32, (H, H * rows), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (H, H * rows), 1)
+        return (c // rows == r).astype(jnp.float32)
+
+    def _sel(rows):
+        # (H*rows, rows) f32 compaction matrix: sel[k, r] = (k % rows == r),
+        # so (masked @ sel)[h, r] = sum_j masked[h, j*rows+r].
+        k = jax.lax.broadcasted_iota(jnp.int32, (H * rows, rows), 0)
+        r = jax.lax.broadcasted_iota(jnp.int32, (H * rows, rows), 1)
+        return (k % rows == r).astype(jnp.float32)
+
     def dots(q3, k3, p, v3):
-        """scores (H, rows) and weighted sum (H, hs): head-batched MXU GEMMs
-        (hs- and rows-contractions as real matmuls) or VPU multiply-reduce."""
+        """scores (H, rows) and weighted sum (H, hs).
+
+        mxu=True keeps everything STRICTLY 2-D (2-D dots, 2-D iota masks):
+        Mosaic's batched rank-3 dot_general emits a dot_dimension_numbers
+        attribute this toolchain's remote compiler cannot parse, and rank-3
+        reshapes/lane-1 broadcasts inside kernels crash its backend. The
+        cross-head GEMM computes H x more scores than needed, but the MXU is
+        idle in this kernel while the cache stream bounds it — the mask
+        multiply (H*H*rows VPU ops, hs/H x fewer than the direct
+        multiply-reduce) and the compaction/tile GEMMs are the only added
+        vector work. mxu=False is the pure-VPU multiply-reduce."""
         if k3 is not None:
             if mxu:
-                return jax.lax.dot_general(
-                    k3, q3, (((2,), (1,)), ((0,), (0,))),
+                rows = k3.shape[1]
+                k2 = k3.reshape(H * rows, hs)
+                s_all = jax.lax.dot_general(
+                    q3, k2, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
+                )  # (H, H*rows): s_all[h, j*rows+r] = q[h] . k[j, r]
+                return jax.lax.dot_general(
+                    s_all * _blockdiag_mask(rows), _sel(rows),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (H, rows)
             return jnp.sum(k3 * q3[:, None, :], axis=-1)
         if mxu:
+            rows = v3.shape[1]
+            # column-tile p H times via a GEMM (p @ sel^T), mask to
+            # block-diagonal, then one GEMM against the flattened values.
+            ptile = jax.lax.dot_general(
+                p, _sel(rows), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (H, H*rows): ptile[h, k] = p[h, k % rows]
+            v2 = v3.reshape(H * rows, hs)
             return jax.lax.dot_general(
-                p, v3, (((1,), (1,)), ((0,), (0,))),
+                ptile * _blockdiag_mask(rows), v2, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         return jnp.sum(p[:, :, None] * v3, axis=1)

@@ -261,10 +261,16 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
                 gx_hi, zbuf[slot][Gh:G], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            for g in range(Gh):
-                xlo = src_ref[:, g * gs : (g + 1) * gs].astype(cdtype)
-                xhi = src_ref[:, Kh + g * gs : Kh + (g + 1) * gs].astype(cdtype)
-                if quad:
+            if quad:
+                # per-quarter accumulators: acc.at[:, cs].add(...) lowers to
+                # scatter-add, which Mosaic cannot lower — keep every slice
+                # static and concatenate once per block instead.
+                qacc = [acc[:, i * bnw : (i + 1) * bnw] for i in range(4)]
+                for g in range(Gh):
+                    xlo = src_ref[:, g * gs : (g + 1) * gs].astype(cdtype)
+                    xhi = src_ref[
+                        :, Kh + g * gs : Kh + (g + 1) * gs
+                    ].astype(cdtype)
                     words = pw[g * gs : (g + 1) * gs]
                     for i in range(4):
                         byte = (words >> (8 * i)) & jnp.uint32(0xFF)
@@ -280,11 +286,18 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
                             preferred_element_type=jnp.float32,
                         )
                         cs = slice(i * bnw, (i + 1) * bnw)
-                        acc = acc.at[:, cs].add(
+                        qacc[i] = qacc[i] + (
                             lo_dot * sbuf[slot][g : g + 1, cs]
                             + hi_dot * sbuf[slot][Gh + g : Gh + g + 1, cs]
                         )
-                    continue
+                acc = jnp.concatenate(qacc, axis=1)
+                if residual_ref is not None:
+                    acc += residual_ref[:, nb * bn : (nb + 1) * bn]
+                dst_ref[:, nb * bn : (nb + 1) * bn] = acc
+                continue
+            for g in range(Gh):
+                xlo = src_ref[:, g * gs : (g + 1) * gs].astype(cdtype)
+                xhi = src_ref[:, Kh + g * gs : Kh + (g + 1) * gs].astype(cdtype)
                 if arith_unpack:
                     brows = pf[g * gs : (g + 1) * gs]
                     high_q = jnp.floor(brows * jnp.asarray(0.0625, cdtype))
@@ -795,7 +808,11 @@ def _step_kernel(
 
     def layer(l, carry):
         # ---- attention half --------------------------------------------
-        h[:] = _rms_norm_rows(xs[:], rms1_ref.at[pl.ds(l, 1)])
+        # rms planes are stacked (L, 1, D): a dynamic slice on the leading
+        # (untiled) dim — slicing a (L, D) VMEM buffer's dim 0 at l violates
+        # the (8, 128) tiling ("slice shape along dimension 0 must be
+        # aligned to tiling (8)").
+        h[:] = _rms_norm_rows(xs[:], rms1_ref.at[l])
         _mv_int4(h, qkv, ca_qw, ca_qs, ca_qz, K=D, N=3 * D, gs=gs, bn=bn_ca,
                  cdtype=cdtype, layer=l)
         for head in range(H):
@@ -875,7 +892,7 @@ def _step_kernel(
                  cdtype=cdtype, residual_ref=xs, layer=l)
 
         # ---- MLP half ---------------------------------------------------
-        h[:] = _rms_norm_rows(xs[:], rms2_ref.at[pl.ds(l, 1)])
+        h[:] = _rms_norm_rows(xs[:], rms2_ref.at[l])
         _mv_int4(h, fg, f12_qw, f12_qs, f12_qz, K=D, N=2 * I, gs=gs,
                  bn=bn_f12, cdtype=cdtype, layer=l)
         gg[:] = jax.nn.silu(fg[:, :I]) * fg[:, I:]
@@ -1026,8 +1043,10 @@ def prepare_step_fused(params: Params, config) -> Params:
         return quad_view(plane, _pick_bn(N, K)) if quad else plane
 
     mega = {
-        "rms_1": stack(("rms_1",)),
-        "rms_2": stack(("rms_2",)),
+        # (L, 1, D): layer-indexed VMEM slices must land on an untiled
+        # leading dim (see _step_kernel's rms note).
+        "rms_1": stack(("rms_1",))[:, None, :],
+        "rms_2": stack(("rms_2",))[:, None, :],
         "ca_qw": wq(stack(("attn", "c_attn", "qw")), 3 * D, D),
         "ca_qs": stack(("attn", "c_attn", "qscale_b")),
         "ca_qz": stack(("attn", "c_attn", "qzero_b")),

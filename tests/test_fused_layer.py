@@ -605,6 +605,41 @@ def test_mega_generate_matches_standard(prepared_mega):
     assert got.tolist() == ref.tolist()
 
 
+def test_decode_step_fused_quad_matches(prepared, monkeypatch):
+    """quad_view u32 weight planes (the dynamic-DMA-legal fallback layout)
+    produce the same logits as the default u8 planes."""
+    cfg, _, fparams, fcfg = prepared
+    D, H, hs, L = cfg.n_embd, cfg.n_head, cfg.head_size, cfg.n_layer
+    S = 32
+    rng = np.random.default_rng(11)
+    stacked = {
+        "k": jnp.asarray(rng.normal(size=(L, 1, H, S, hs)) * 0.3, jnp.float32),
+        "v": jnp.asarray(rng.normal(size=(L, 1, H, S, hs)) * 0.3, jnp.float32),
+    }
+    x = jnp.asarray(rng.normal(size=(1, D)) * 0.5, jnp.float32)
+    pos = jnp.int32(13)
+    rope_cache = build_rope_cache(fcfg.block_size, hs)
+    cosf, sinf = rope_half_row(rope_cache, pos, hs)
+
+    mparams_u8 = fused_layer.prepare_step_fused(fparams, fcfg)
+    monkeypatch.setenv("LIT_LLAMA_TPU_MEGA_QUAD", "1")
+    mparams_quad = fused_layer.prepare_step_fused(fparams, fcfg)
+    assert mparams_quad["mega"]["ca_qw"].dtype == jnp.uint32
+    with pltpu.force_tpu_interpret_mode():
+        ref_logits, ref_kv = fused_layer.decode_step_fused(
+            x, mparams_u8, dict(stacked), cosf, sinf, pos % S, pos, fcfg
+        )
+        got_logits, got_kv = fused_layer.decode_step_fused(
+            x, mparams_quad, dict(stacked), cosf, sinf, pos % S, pos, fcfg
+        )
+    np.testing.assert_allclose(
+        np.asarray(got_kv["k"]), np.asarray(ref_kv["k"]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(ref_logits), rtol=2e-3, atol=2e-3
+    )
+
+
 def test_arith_unpack_matches_i32(prepared, monkeypatch):
     """LIT_LLAMA_TPU_UNPACK=arith (floor/multiply-subtract nibble decode) is
     bit-identical to the i32 shift/mask path in f32 compute."""
