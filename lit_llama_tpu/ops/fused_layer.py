@@ -250,7 +250,9 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
             if quad:
                 pw = wbuf[slot]  # (Kh, bnw) u32 column-quad words
             elif arith_unpack:
-                pf = wbuf[slot].astype(cdtype)  # (Kh, bn) exact byte values
+                # (Kh, bn) exact byte values; Mosaic has no direct u8->bf16
+                # cast — widen through f32 (one extra cast, math stays bf16)
+                pf = wbuf[slot].astype(jnp.float32).astype(cdtype)
             else:
                 p32 = wbuf[slot].astype(jnp.int32)  # (Kh, bn)
             acc = jax.lax.dot_general(

@@ -179,23 +179,25 @@ def case_mv_unrolled():
     return _mv_case(quad=False, loop=False)
 
 
-def case_attn_dyn():
+def _attn_case(packed: bool):
     """In-kernel _decode_attention over a layer-stacked HBM cache ref inside
     a fori_loop (the megakernel's attention stage)."""
     jax, jnp, pl, pltpu = _pallas()
-    from lit_llama_tpu.ops.fused_layer import _decode_attention
+    from lit_llama_tpu.ops.fused_layer import _decode_attention, pack_kv
 
     S = 128
     rng = np.random.default_rng(1)
-    kc = jnp.asarray(rng.normal(size=(L, 1, H, S, HS)) * 0.3, jnp.float32)
-    vc = jnp.asarray(rng.normal(size=(L, 1, H, S, HS)) * 0.3, jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(L, 1, H, S, HS)) * 0.3, jnp.bfloat16)
+    vc = jnp.asarray(rng.normal(size=(L, 1, H, S, HS)) * 0.3, jnp.bfloat16)
+    if packed:
+        kc, vc = pack_kv(kc), pack_kv(vc)
 
     def kernel(q_ref, kc_ref, vc_ref, o_ref):
         def body(l, carry):
             def att(y_s):
                 _decode_attention(
                     q_ref, kc_ref, vc_ref, y_s, jnp.int32(S - 1), H=H, S=S,
-                    hs=HS, bs=64, packed=False, cdtype=jnp.bfloat16, layer=l,
+                    hs=HS, bs=64, packed=packed, cdtype=jnp.bfloat16, layer=l,
                 )
                 o_ref[:] = y_s[:]
 
@@ -204,7 +206,7 @@ def case_attn_dyn():
 
         jax.lax.fori_loop(0, L, body, 0)
 
-    q = jnp.ones((H, HS), jnp.float32)
+    q = jnp.ones((H, HS), jnp.bfloat16)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((H, HS), jnp.float32),
@@ -215,6 +217,75 @@ def case_attn_dyn():
     return float(out[0, 0])
 
 
+def case_attn_dyn():
+    return _attn_case(packed=False)
+
+
+def case_attn_dyn_packed():
+    return _attn_case(packed=True)
+
+
+def case_write_dyn2():
+    """Cache-row RMW with BOTH indices dynamic (layer + row), packed u32 —
+    the megakernel's packed write_rows."""
+    jax, jnp, pl, pltpu = _pallas()
+
+    Sw = 64  # packed word rows
+    vc = jnp.zeros((L, 1, H, Sw, HS), jnp.uint32)
+
+    def kernel(wp_ref, row_ref, vc_in, o_ref, vc_out):
+        wr = wp_ref[0] // 2
+        hi = jax.lax.rem(wp_ref[0], 2) == 1
+
+        def body(l, carry):
+            def rmw(vb, sems):
+                rd = pltpu.make_async_copy(
+                    vc_out.at[l, 0, :, pl.ds(wr, 1), :], vb, sems.at[0]
+                )
+                rd.start(); rd.wait()
+                old = vb[:, 0, :]
+                vb[:, 0, :] = jnp.where(
+                    hi,
+                    (old & jnp.uint32(0xFFFF)) | (row_ref[:] << 16),
+                    (old & jnp.uint32(0xFFFF0000)) | row_ref[:],
+                )
+                wb = pltpu.make_async_copy(
+                    vb, vc_out.at[l, 0, :, pl.ds(wr, 1), :], sems.at[0]
+                )
+                wb.start(); wb.wait()
+
+            pl.run_scoped(
+                rmw, pltpu.VMEM((H, 1, HS), jnp.uint32),
+                pltpu.SemaphoreType.DMA((1,)),
+            )
+            return carry
+
+        jax.lax.fori_loop(0, L, body, 0)
+        o_ref[:] = jnp.ones((1, 1), jnp.float32)
+
+    wp = jnp.asarray([13], jnp.int32)
+    row = jnp.full((H, HS), 0x3F80, jnp.uint32)
+    out, vc2 = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        input_output_aliases={2: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(wp, row, vc)
+    return float(np.asarray(vc2[1, 0, 0, 6, 0]))
+
+
 def case_write_dyn():
     """Dynamic-layer cache-row write DMA (VMEM -> HBM .at[l, 0, :, wp, :])."""
     jax, jnp, pl, pltpu = _pallas()
@@ -222,7 +293,7 @@ def case_write_dyn():
     S = 128
     vc = jnp.zeros((L, 1, H, S, HS), jnp.float32)
 
-    def kernel(row_ref, o_ref, vc_out):
+    def kernel(row_ref, vc_in, o_ref, vc_out):
         def body(l, carry):
             def write(sems):
                 d = pltpu.make_async_copy(
@@ -235,7 +306,7 @@ def case_write_dyn():
             return carry
 
         jax.lax.fori_loop(0, L, body, 0)
-        o_ref[0, 0] = jnp.float32(1.0)
+        o_ref[:] = jnp.ones((1, 1), jnp.float32)
 
     row = jnp.ones((H, 1, HS), jnp.float32)
     out, vc2 = pl.pallas_call(
@@ -282,7 +353,9 @@ CASES = {
     "mv_dyn": case_mv_dyn,
     "mv_dyn_quad": case_mv_dyn_quad,
     "attn_dyn": case_attn_dyn,
+    "attn_dyn_packed": case_attn_dyn_packed,
     "write_dyn": case_write_dyn,
+    "write_dyn2": case_write_dyn2,
 }
 
 
