@@ -380,9 +380,10 @@ def _attempt(env_extra: dict, timeout_s: int):
 
 def main() -> None:
     errors = []
-    # degrade the kernel stack across attempts: a Mosaic regression in the
-    # NEWEST path (whole-step megakernel) falls back to the per-layer fused
-    # kernels, then to the per-op path — the round keeps a verified number.
+    # degrade the kernel stack across attempts: the default (per-layer fused
+    # kernels — the measured-fastest path; the whole-step megakernel is
+    # opt-in and slower, see maybe_prepare_fused) falls back to the per-op
+    # XLA path — the round keeps a verified number.
     # LIT_LLAMA_TPU_BENCH_ATTEMPTS bounds the TOTAL attempt count (CI knob):
     # below 3, the most-degraded fallbacks are kept and plain attempts drop.
     fallbacks = [{"LIT_LLAMA_TPU_MEGA": "0"}, {"LIT_LLAMA_TPU_FUSED": "0"}]
