@@ -1223,13 +1223,15 @@ def block_tail_fused(x, y, rms2, cp, f12, mp, *, B, D, I, gs, cdtype,
     )
 
 
-# Measured on-chip crossover (TPU v5e, 7B int4, S=256, mixed prompts):
-# the batched block-half kernels win 448 vs 386 tok/s at 8 slots but lose
-# 570 vs 602 at 32 — at large B the kernels' VPU multiply-reduce attention
-# and per-group unpack loops fall behind XLA's MXU einsum scheduling, while
-# at small B the launch/glue overhead they remove dominates. Dispatch flips
-# to the XLA path above this slot count (override to re-measure).
-SERVE_KERNEL_MAX_B = 16
+# Measured on-chip (TPU v5e, 7B int4, S=256, mixed prompts, 128 requests):
+# with the round-4 BlockSpec-pipelined write+attention kernel the fused path
+# wins at every measured slot count — 448 vs 386 tok/s at 8 slots (r3) and
+# 837 vs 685 at 32 (the r3 manual-DMA kernel lost 570 vs 602 there, which is
+# why this crossover existed). The VPU multiply-reduce formulation beats the
+# MXU cross-head GEMM one at 32 slots (837 vs 666). No practical slot count
+# reaches the cap; it stays env-overridable for re-measurement on new
+# toolchains/models.
+SERVE_KERNEL_MAX_B = 4096
 
 
 def use_serve_fused(config, layer_params, batch: int | None = None) -> bool:
