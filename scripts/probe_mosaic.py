@@ -217,6 +217,40 @@ def _attn_case(packed: bool):
     return float(out[0, 0])
 
 
+def case_mv_small_n():
+    """_mv_int4 at the smoke lm_head geometry (N=256 < one natural block) —
+    the megakernel crashes at the tiny smoke config but runs at 7B."""
+    jax, jnp, pl, pltpu = _pallas()
+    from lit_llama_tpu.ops.fused_layer import _mv_int4, _pick_bn, blocked_scales
+
+    K2, N2, GS2 = 512, 256, 128
+    bn = _pick_bn(N2, K2)
+    rng = np.random.default_rng(0)
+    qw = jnp.asarray(rng.integers(0, 255, size=(K2 // 2, N2)), jnp.uint8)
+    qs = blocked_scales(jnp.full((K2 // GS2, N2), 0.01, jnp.float32), K2, N2, GS2)
+    qz = blocked_scales(jnp.full((K2 // GS2, N2), -0.05, jnp.float32), K2, N2, GS2)
+
+    def kernel(x_ref, qw_ref, qs_ref, qz_ref, o_ref, xs, dst):
+        xs[:] = x_ref[:].astype(jnp.float32)
+        _mv_int4(xs, dst, qw_ref, qs_ref, qz_ref, K=K2, N=N2, gs=GS2, bn=bn,
+                 cdtype=jnp.bfloat16)
+        o_ref[:] = dst[:].astype(o_ref.dtype)
+
+    x = jnp.ones((8, K2), jnp.bfloat16)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, N2), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((8, K2), jnp.float32),
+            pltpu.VMEM((8, N2), jnp.float32),
+        ],
+    )(x, qw, qs, qz)
+    return float(out[0, 0])
+
+
 def case_attn_dyn():
     return _attn_case(packed=False)
 
@@ -349,6 +383,7 @@ CASES = {
     "iota_mask_dots": case_iota_mask_dots,
     "reshape3": case_reshape3,
     "concat": case_concat,
+    "mv_small_n": case_mv_small_n,
     "mv_unrolled": case_mv_unrolled,
     "mv_dyn": case_mv_dyn,
     "mv_dyn_quad": case_mv_dyn_quad,
