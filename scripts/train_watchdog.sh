@@ -9,8 +9,13 @@
 set -u
 OUT=$1; shift
 [ "$1" = "--" ] && shift
-STALL_S=${STALL_S:-300}       # no metrics progress for this long = hung
-GRACE_S=${GRACE_S:-600}       # startup budget: resume load + compile + first step
+# STALL_S must exceed the LONGEST legitimate metrics silence, which is the
+# FIRST eval+checkpoint boundary (fresh eval-step compile + full optimizer
+# state save — measured 330-350s at 0.44B on v5e; it killed two healthy runs
+# at 300s). Checkpoint saves land only at that boundary, so a kill there can
+# leave no resumable checkpoint and restart the run from scratch.
+STALL_S=${STALL_S:-900}       # no metrics progress for this long = hung
+GRACE_S=${GRACE_S:-900}       # startup budget: resume load + compile + first step
 MAX_CHILD_S=${MAX_CHILD_S:-18000}
 TARGET_ITER=${TARGET_ITER:-0} # completion = metrics reaches this iter (0: final/ only)
 
