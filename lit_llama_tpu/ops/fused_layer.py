@@ -250,9 +250,17 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
             if quad:
                 pw = wbuf[slot]  # (Kh, bnw) u32 column-quad words
             elif arith_unpack:
-                # (Kh, bn) exact byte values; Mosaic has no direct u8->bf16
-                # cast — widen through f32 (one extra cast, math stays bf16)
-                pf = wbuf[slot].astype(jnp.float32).astype(cdtype)
+                # (Kh, bn) exact byte values; this Mosaic toolchain supports
+                # neither u8->bf16 nor u8->f32 directly — widen u8->i32->f32
+                # ->bf16 once per block (the i32 plane is what the default
+                # path materializes anyway); the per-group nibble math then
+                # runs in bf16 at 2x the register density of i32 shift/mask.
+                pf = (
+                    wbuf[slot]
+                    .astype(jnp.int32)
+                    .astype(jnp.float32)
+                    .astype(cdtype)
+                )
             else:
                 p32 = wbuf[slot].astype(jnp.int32)  # (Kh, bn)
             acc = jax.lax.dot_general(

@@ -1,0 +1,64 @@
+"""Single-stream 7B int4 decode at the headline geometry — one JSON line.
+
+A/B tool for kernel variants selected by env (LIT_LLAMA_TPU_UNPACK,
+LIT_LLAMA_TPU_MEGA, LIT_LLAMA_TPU_FUSED): the knobs are read at trace time
+inside the kernels, so each arm must run in its own process. bench.py is the
+driver-facing harness; this is the minimal decode-only core for fast A/Bs
+(skips serving/int8/S=2048 rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    import jax
+
+    from bench import _measure_decode, random_int4_params
+    from lit_llama_tpu import LLaMAConfig
+    from lit_llama_tpu.models import llama
+    from lit_llama_tpu.utils.cli import _apply_platform_override
+
+    _apply_platform_override()
+    max_new = int(os.environ.get("AB_MAX_NEW", "64"))
+    max_seq = int(os.environ.get("AB_MAX_SEQ", "0"))  # 0 = headline (8+new)
+
+    config = LLaMAConfig.from_name(
+        "7B", param_dtype="bfloat16", compute_dtype="bfloat16", quantize="int4"
+    )
+    params = jax.jit(random_int4_params, static_argnums=0)(
+        config, jax.random.PRNGKey(0)
+    )
+    params = llama.unstack_layers(params)
+    from lit_llama_tpu.ops.fused_layer import maybe_prepare_fused
+
+    params, config = maybe_prepare_fused(params, config, mega=True)
+    jax.block_until_ready(params)
+
+    seq = max_seq or min(config.block_size, 8 + max_new)
+    tok_s, compile_s, times, n_tok = _measure_decode(params, config, max_new, seq)
+    print(
+        json.dumps(
+            {
+                "metric": "ab_decode_tok_s",
+                "value": round(tok_s, 2),
+                "unpack": os.environ.get("LIT_LLAMA_TPU_UNPACK", "i32"),
+                "mega": os.environ.get("LIT_LLAMA_TPU_MEGA", "0"),
+                "fused": os.environ.get("LIT_LLAMA_TPU_FUSED", "1"),
+                "max_seq": seq,
+                "compile_s": round(compile_s, 1),
+                "runs": [round(t, 3) for t in times],
+                "n_tok": n_tok,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
