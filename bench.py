@@ -128,6 +128,24 @@ def random_int8_params(config, key):
     }
 
 
+def build_decode_params(config):
+    """Random int4 params in the shipping decode layout (unstacked layers,
+    fused-kernel prep, megakernel planes when opted in). Shared by the
+    headline bench and scripts/ab_decode.py so the two cannot drift."""
+    import jax
+
+    from lit_llama_tpu.models import llama
+    from lit_llama_tpu.ops.fused_layer import maybe_prepare_fused
+
+    params = jax.jit(random_int4_params, static_argnums=0)(
+        config, jax.random.PRNGKey(0)
+    )
+    params = llama.unstack_layers(params)
+    params, config = maybe_prepare_fused(params, config, mega=True)
+    jax.block_until_ready(params)
+    return params, config
+
+
 def _measure_serving(params, config, max_batch: int = 32):
     """Continuous-batching aggregate tok/s and p50 TTFT at the headline slot
     count (the BASELINE metric names p50 TTFT; scripts/bench_serving.py is the
@@ -228,14 +246,7 @@ def run_bench() -> None:
         metric = "decode_tok_s_tiny_int4_cpu"
         max_new = 32
 
-    params = jax.jit(random_int4_params, static_argnums=0)(
-        config, jax.random.PRNGKey(0)
-    )
-    params = llama.unstack_layers(params)
-    from lit_llama_tpu.ops.fused_layer import maybe_prepare_fused
-
-    params, config = maybe_prepare_fused(params, config, mega=True)
-    jax.block_until_ready(params)
+    params, config = build_decode_params(config)
 
     # Headline: short-context decode (cache = prompt + new tokens).
     tok_s, compile_s, times, n_tok = _measure_decode(

@@ -14,11 +14,28 @@ sys.path.insert(0, str(wd))
 
 import numpy as np
 
-HF_DATASETS = {
-    "wikitext": ("wikitext", "wikitext-2-raw-v1", "test", "\n\n"),
-    "ptb": ("ptb_text_only", "penn_treebank", "test", "\n\n"),
-    "c4": ("allenai/c4", "allenai--c4", "validation", ""),
-}
+def load_eval_text(name: str) -> str:
+    """Fetch one eval corpus from the HF hub (reference: evaluate/full.py:25-45
+    — same datasets, splits, doc joiners, and the 1100-doc C4 cap). The c4 repo
+    dropped its legacy ``allenai--c4`` config name; selecting the single
+    validation shard via ``data_files`` (as the reference already did) is the
+    call that still resolves on current ``datasets`` releases."""
+    from datasets import load_dataset  # HF hub (needs network)
+
+    if name == "wikitext":
+        ds = load_dataset("wikitext", "wikitext-2-raw-v1", split="test")
+        return "\n\n".join(ds["text"])
+    if name == "ptb":
+        ds = load_dataset("ptb_text_only", "penn_treebank", split="test")
+        return "\n\n".join(ds["sentence"])
+    if name == "c4":
+        ds = load_dataset(
+            "allenai/c4",
+            data_files={"validation": "en/c4-validation.00000-of-00008.json.gz"},
+            split="validation",
+        )
+        return " ".join(ds[:1100]["text"])
+    raise ValueError(f"unknown dataset {name!r}; pass --data_file for local data")
 
 
 def load_eval_tokens(
@@ -32,14 +49,7 @@ def load_eval_tokens(
         text = data_file.read_text()
         return tokenizer.encode(text, bos=True, eos=False)
     name = datasets.split(",")[0]
-    if name not in HF_DATASETS:
-        raise ValueError(f"unknown dataset {name!r}; pass --data_file for local data")
-    from datasets import load_dataset  # HF hub (needs network)
-
-    ds_name, ds_config, split, joiner = HF_DATASETS[name]
-    ds = load_dataset(ds_name, ds_config, split=split)
-    text = joiner.join(ds["sentence" if name == "ptb" else "text"])
-    return tokenizer.encode(text, bos=True, eos=False)
+    return tokenizer.encode(load_eval_text(name), bos=True, eos=False)
 
 
 def main(

@@ -1,5 +1,10 @@
 """Packed token dataset: LITPKDS binary chunks, rank sharding, weighted mixtures.
 
+Derived from lit-llama's ``packed_dataset.py`` (Apache-2.0, LICENSE at repo
+root): the header/byte format, class/attribute names, and shard arithmetic are
+kept line-compatible on purpose so chunk files and configs interoperate; the
+torch DataLoader machinery was replaced with numpy RNG + a plain ``batcher``.
+
 On-disk compatible with the reference's format (lit_llama/packed_dataset.py:35-36,
 100-114): ``LITPKDS`` magic + uint64 version (1) + uint8 dtype code + uint64
 chunk_size header, then the raw token array. Chunk files written by either

@@ -30,11 +30,15 @@ def get_sample_data(tokenizer, n_samples: int, block_size: int, data_file, vocab
     try:
         from datasets import load_dataset  # needs network
 
+        # one C4 train shard, 1000 random docs (reference: gptq.py:24-35; the
+        # legacy "allenai--c4" config name no longer resolves — data_files
+        # alone selects the shard on current ``datasets`` releases)
         ds = load_dataset(
-            "allenai/c4", "allenai--c4",
+            "allenai/c4",
             data_files={"train": "en/c4-train.00000-of-01024.json.gz"}, split="train",
         )
-        text = " ".join(ds[: 1000]["text"])
+        order = rng.permutation(len(ds))[:1000]
+        text = "\n".join(ds[int(i)]["text"] for i in order)
         tokens = tokenizer.encode(text, bos=False)
         starts = rng.integers(0, len(tokens) - block_size, size=n_samples)
         return np.stack([tokens[s : s + block_size] for s in starts]).astype(np.int32)

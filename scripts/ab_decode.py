@@ -20,26 +20,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main() -> None:
     import jax
 
-    from bench import _measure_decode, random_int4_params
+    from bench import _measure_decode, build_decode_params
     from lit_llama_tpu import LLaMAConfig
-    from lit_llama_tpu.models import llama
     from lit_llama_tpu.utils.cli import _apply_platform_override
 
     _apply_platform_override()
+    if jax.default_backend() == "cpu":
+        # the full 7B tree is ~3.5 GB of host params and minutes per token on
+        # CPU — fail fast instead of silently crawling (ADVICE r4)
+        print(json.dumps({"error": "ab_decode requires an accelerator"}))
+        sys.exit(1)
     max_new = int(os.environ.get("AB_MAX_NEW", "64"))
     max_seq = int(os.environ.get("AB_MAX_SEQ", "0"))  # 0 = headline (8+new)
 
     config = LLaMAConfig.from_name(
         "7B", param_dtype="bfloat16", compute_dtype="bfloat16", quantize="int4"
     )
-    params = jax.jit(random_int4_params, static_argnums=0)(
-        config, jax.random.PRNGKey(0)
-    )
-    params = llama.unstack_layers(params)
-    from lit_llama_tpu.ops.fused_layer import maybe_prepare_fused
-
-    params, config = maybe_prepare_fused(params, config, mega=True)
-    jax.block_until_ready(params)
+    params, config = build_decode_params(config)
 
     seq = max_seq or min(config.block_size, 8 + max_new)
     tok_s, compile_s, times, n_tok = _measure_decode(params, config, max_new, seq)

@@ -1,6 +1,11 @@
 """Tokenize RedPajama jsonl into PackedDataset chunk files
 (reference: scripts/prepare_redpajama.py:45-150 — sample and full variants, zstd
 common_crawl handling, chunks of 2049*1024 tokens).
+
+Derived from lit-llama's ``prepare_redpajama.py`` (Apache-2.0, LICENSE at repo
+root): the ``filename_sets`` corpus-layout table and per-file loop skeleton
+are retained; tokenization and chunk writing target this repo's Tokenizer and
+PackedDatasetBuilder.
 """
 
 import glob
