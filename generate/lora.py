@@ -24,6 +24,7 @@ def main(
     top_k: int = 200,
     temperature: float = 0.8,
     seed: int = 1234,
+    model_parallel: int = 1,
 ) -> None:
     """Generates a response based on a given instruction with a LoRA overlay.
 
@@ -42,6 +43,9 @@ def main(
         top_k: The number of top most probable tokens to consider in the sampling process.
         temperature: A value controlling the randomness of the sampling process.
         seed: Random seed for sampling.
+        model_parallel: Tensor-parallel degree — shard_map over the model mesh
+            axis with the LoRA update applied on each device's head shard
+            (beyond the reference, which has no runtime TP).
     """
     from lit_llama_tpu.data import sft
     from lit_llama_tpu.data.tokenizer import Tokenizer
@@ -61,25 +65,47 @@ def main(
     from lit_llama_tpu.models.llama import unstack_layers
     from lit_llama_tpu.ops.fused_layer import maybe_prepare_fused
 
-    params = unstack_layers(params)
-    params, config = maybe_prepare_fused(params, config)
-
     tokenizer = Tokenizer(tokenizer_path)
     full_prompt = sft.generate_prompt({"instruction": prompt, "input": input})
     encoded = tokenizer.encode(full_prompt, bos=True, eos=False)
 
-    t0 = time.perf_counter()
-    y = generate(
-        params,
-        encoded,
-        max_new_tokens,
-        config=config,
-        temperature=temperature,
-        top_k=top_k,
-        eos_id=tokenizer.eos_id,
-        key=jax.random.PRNGKey(seed),
-    )
-    t = time.perf_counter() - t0
+    if model_parallel > 1:
+        from lit_llama_tpu.parallel import mesh as mesh_lib, tp
+
+        mesh = mesh_lib.make_mesh(
+            data=1, model=model_parallel,
+            devices=jax.devices()[:model_parallel],
+        )
+        params = tp.shard_params_tp(unstack_layers(params), mesh, config)
+        t0 = time.perf_counter()
+        y = tp.generate_tp(
+            params,
+            encoded,
+            max_new_tokens,
+            config=config,
+            mesh=mesh,
+            temperature=temperature,
+            top_k=top_k,
+            eos_id=tokenizer.eos_id,
+            key=jax.random.PRNGKey(seed),
+        )
+        t = time.perf_counter() - t0
+    else:
+        params = unstack_layers(params)
+        params, config = maybe_prepare_fused(params, config)
+
+        t0 = time.perf_counter()
+        y = generate(
+            params,
+            encoded,
+            max_new_tokens,
+            config=config,
+            temperature=temperature,
+            top_k=top_k,
+            eos_id=tokenizer.eos_id,
+            key=jax.random.PRNGKey(seed),
+        )
+        t = time.perf_counter() - t0
     output = tokenizer.decode(y)
     output = output.split("### Response:")[-1].strip()
     print(output)

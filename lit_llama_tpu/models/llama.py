@@ -551,16 +551,19 @@ def forward(
     params hold this device's shard of heads / MLP hidden / vocab columns
     (parallel/tp.py lays them out), activations are replicated, one psum after
     each block's two projections, and the vocab-sharded logits are all-gathered
-    at the end. wte and the norms must be replicated; LoRA/adapter overlays are
-    not supported under this path.
+    at the end. wte and the norms must be replicated. LoRA composes: lora_a is
+    replicated, lora_b's output dim shards with the q/v head columns
+    (parallel/tp.py), and the local delta lands on the local head shard;
+    adapter overlays (whose prefix attention spans all heads) are not
+    supported under this path.
 
     ``prefill_from_zero=True`` (static) promises ``input_pos == arange(T)``: the
     attention then reads only the first T cache slots with a causal mask, making
     the Pallas flash kernel eligible for prefill (the einsum fallback would
     materialize (T, S) scores per layer).
     """
-    if tp_axis is not None and (config.lora is not None or config.adapter is not None):
-        raise NotImplementedError("PEFT overlays are not supported under shard_map TP")
+    if tp_axis is not None and config.adapter is not None:
+        raise NotImplementedError("adapter overlays are not supported under shard_map TP")
     B, T = tokens.shape
     compute_dtype = jnp.dtype(config.compute_dtype)
     if rope_cache is None:
@@ -655,13 +658,17 @@ def forward(
         # much time as the matmuls themselves in weight-bound decode. Unrolled,
         # each weight is its own buffer and streams HBM->VMEM exactly once.
         if kv_cache is None:
+            from lit_llama_tpu.parallel.sharding import constrain_batch
+
             blk = _block
             if remat:
                 blk = jax.checkpoint(
                     _block, static_argnums=(4, 7), policy=_remat_policy(remat_policy)
                 )
+            x = constrain_batch(x)
             for lp in layer_params:
                 x, _ = blk(lp, x, rope, mask, config, None, None, causal, tp_axis)
+                x = constrain_batch(x)
             new_cache = None
         elif kv_seq:
             # Per-layer cache tuple matching the unstacked weights: each
@@ -733,14 +740,15 @@ def forward(
                     acc[name].append(new_kv_l[name])
             new_cache = {name: jnp.stack(vals) for name, vals in acc.items()}
     elif kv_cache is None:
+        from lit_llama_tpu.parallel.sharding import constrain_batch
 
         def body(h, lp):
             h, _ = _block(lp, h, rope, mask, config, None, None, causal, tp_axis)
-            return h, None
+            return constrain_batch(h), None
 
         if remat:
             body = jax.checkpoint(body, policy=_remat_policy(remat_policy))
-        x, _ = jax.lax.scan(body, x, layer_params)
+        x, _ = jax.lax.scan(body, constrain_batch(x), layer_params)
         new_cache = None
     else:
 

@@ -48,6 +48,14 @@ def _leaf_spec(path: Tuple[str, ...], ndim: int, fsdp: bool, tp: bool) -> P:
     if parent == "lm_head":
         if name in ("qscale", "qzero"):
             return P(None, model)
+        if model is None and data is not None:
+            # FSDP without TP: shard the OUTPUT (vocab) dim, not the
+            # contraction dim — a D-sharded lm_head makes GSPMD all-reduce
+            # the full (B, T, V) logits in fwd AND bwd (2x 2.1 GB/step at
+            # 13B/T=2048), while a V-shard reduces only the softmax
+            # statistics (B, T) and the target gather (census:
+            # scripts/comm_anatomy.py --mode train)
+            return P(None, data)
         return P(data, model)
     # per-layer stacks -------------------------------------------------------
     if parent in ("c_attn", "c_fc1", "c_fc2"):
@@ -78,6 +86,32 @@ def param_pspecs(params: Params, fsdp: bool = False, tp: bool = True) -> Params:
         return _leaf_spec(keys, leaf.ndim, fsdp, tp)
 
     return jax.tree_util.tree_map_with_path(f, params)
+
+
+def constrain_batch(x):
+    """Pin (B, T, ...) activations to batch-sharding over the ``data`` axis
+    when tracing under a mesh whose data axis is real (>1); no-op otherwise.
+
+    GSPMD needs this anchor in the TRAINING forward: with FSDP-sharded weights
+    and no activation constraint it is free to move activations instead of
+    weights — measured at 13B/T=2048 geometry it chose per-layer (B, T, 3D)
+    activation all-gathers (~1 GB each) over the ~150 MB bf16 weight
+    all-gathers ZeRO-3 intends (census: scripts/comm_anatomy.py --mode train).
+    """
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            from jax.interpreters import pxla
+
+            mesh = pxla.thread_resources.env.physical_mesh
+    except Exception:
+        return x
+    if mesh.empty or DATA_AXIS not in mesh.axis_names or mesh.shape[DATA_AXIS] == 1:
+        return x
+    spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, spec)
 
 
 def kv_cache_pspec() -> P:

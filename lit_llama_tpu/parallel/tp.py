@@ -55,6 +55,12 @@ def tp_param_specs(params: Params) -> Params:
 
         if name == "wte":
             return P(None, None)
+        if name == "lora_a":
+            return P(*([None] * leaf.ndim))  # replicated (small, x is replicated)
+        if name == "lora_b":
+            # (…, g, r, D): output columns shard with the q/v head columns —
+            # heads are contiguous in D, so a D/mp chunk IS the head shard
+            return p(None, MODEL_AXIS)
         if parent == "lm_head":
             return P(None, MODEL_AXIS)
         if parent in ("c_attn", "c_fc1", "c_fc2"):
@@ -265,6 +271,83 @@ def make_tp_forward(config: LLaMAConfig, mesh: Mesh, params_template: Params):
     """Jitted (prefill_fn, decode_fn) versions of :func:`make_sharded_forwards`."""
     fwd_prefill, fwd_decode = make_sharded_forwards(config, mesh, params_template)
     return jax.jit(fwd_prefill), jax.jit(fwd_decode)
+
+
+def generate_tp(
+    params: Params,
+    prompt,
+    max_new_tokens: int,
+    *,
+    config: LLaMAConfig,
+    mesh: Mesh,
+    max_seq_length: Optional[int] = None,
+    temperature: float = 1.0,
+    top_k: Optional[int] = None,
+    eos_id: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+):
+    """Single-prompt generation through the shard_map TP forward (the
+    tensor-parallel sibling of models/generate.generate — same sampling, eos
+    early-exit, and single-compile whole-loop structure; the decode body is the
+    slot_pos ring-buffer step, so long generations wrap like the reference's
+    roll-left). ``params`` must already be laid out by :func:`shard_params_tp`.
+    Composes with LoRA overlays (lora_b shards with the head columns)."""
+    import numpy as np
+
+    from lit_llama_tpu.models.generate import sample_logits
+    from lit_llama_tpu.ops.rope import build_rope_cache  # noqa: F401 (parity)
+
+    prompt = jnp.asarray(prompt, jnp.int32)
+    T = int(prompt.shape[0])
+    T_new = T + int(max_new_tokens)
+    S = min(max_seq_length or T_new, config.block_size)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    fwd_prefill, fwd_decode = make_sharded_forwards(config, mesh, params)
+    cache = init_tp_cache(config, mesh, 1, S)
+
+    @functools.partial(jax.jit, static_argnums=())
+    def run(params, prompt, cache, key):
+        buf = jnp.zeros((T_new,), jnp.int32)
+        buf = jax.lax.dynamic_update_slice(buf, prompt, (0,))
+        logits, cache = fwd_prefill(params, prompt[None, :], jnp.arange(T), cache)
+        key, sub = jax.random.split(key)
+        nxt = sample_logits(
+            logits[0, -1].astype(jnp.float32), sub, temperature, top_k
+        )
+        buf = buf.at[T].set(nxt)
+
+        def cond(state):
+            i, _, _, _, done = state
+            return jnp.logical_and(
+                i < max_new_tokens - 1, jnp.logical_not(done)
+            )
+
+        def body(state):
+            i, buf, cache, key, done = state
+            pos = T + i
+            tok = jax.lax.dynamic_slice(buf, (pos,), (1,))
+            logits, cache = fwd_decode(params, tok[None, :], pos[None], cache)
+            key, sub = jax.random.split(key)
+            nxt = sample_logits(
+                logits[0, -1].astype(jnp.float32), sub, temperature, top_k
+            )
+            buf = jax.lax.dynamic_update_slice(buf, nxt[None], (pos + 1,))
+            done = (nxt == eos_id) if eos_id is not None else jnp.bool_(False)
+            return i + 1, buf, cache, key, done
+
+        init_done = (nxt == eos_id) if eos_id is not None else jnp.bool_(False)
+        if max_new_tokens > 1:
+            i, buf, cache, key, done = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), buf, cache, key, init_done)
+            )
+        else:
+            i = jnp.int32(0)
+        return buf, i + 1
+
+    buf, n_generated = run(params, prompt, cache, key)
+    n = int(n_generated)
+    return np.asarray(buf)[: T + n]
 
 
 def init_tp_cache(

@@ -70,9 +70,12 @@ def lora_delta(
     n_en, r = b.shape[-3], b.shape[-2]
     B, T, D = x.shape
     ax = (x @ a).reshape(B, T, n_en, r)
-    # per-enabled-group rank-r expansion (the reference's grouped conv1d)
+    # per-enabled-group rank-r expansion (the reference's grouped conv1d).
+    # Under shard_map TP lora_b holds only this device's head columns
+    # (D/mp wide) while x/lora_a stay replicated — the group width therefore
+    # comes from b, not from x, and the padded update matches the local qkv.
     delta = jnp.einsum("btgr,grd->btgd", ax, b) * cfg.scaling
-    return _zero_pad(delta, cfg, D)
+    return _zero_pad(delta, cfg, delta.shape[-1])
 
 
 def _zero_pad(delta: jnp.ndarray, cfg: LoRAConfig, D: int) -> jnp.ndarray:
