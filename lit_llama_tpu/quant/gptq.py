@@ -225,6 +225,16 @@ def _stage_attn(lp, h1, rope, mask, config):
 _BLOCK_TARGETS = ("attn.c_attn", "attn.c_proj", "mlp.c_fc1", "mlp.c_fc2", "mlp.c_proj")
 
 
+def _stage_concat(chunks, host_spill: bool):
+    """Join per-batch stage outputs: host numpy (device frees each chunk as it
+    lands) when spilling, one device array otherwise."""
+    if host_spill:
+        import numpy as np
+
+        return np.concatenate([np.asarray(c) for c in chunks])
+    return jnp.concatenate(chunks)
+
+
 def _get(d: Params, dotted: str):
     for k in dotted.split("."):
         d = d[k]
@@ -238,6 +248,7 @@ def quantize_model_gptq(
     groupsize: int = 128,
     batch: int = 4,
     actorder: bool = False,
+    host_spill: bool = None,
 ) -> Params:
     """Sequential block-wise GPTQ over the whole model: quantize the 5 per-block
     linears + lm_head, propagating error-compensated activations block to block
@@ -258,21 +269,42 @@ def quantize_model_gptq(
       stage D: gate = silu(fc1_q(h2)) * fc2_q(h2)  -> H(mlp.c_proj); quantize
       stage E: x = x2 + mlp.c_proj_q(gate)          (block propagation)
 
-    Memory: activations are held as whole (n, T, D)/(n, T, I) f32 arrays — at
-    the reference protocol (128 x 2048, D=4096) that is ~4 GB per tensor and
-    ~10.7 GB for the 7B MLP gate; 65B-scale D needs the batch loop to also
-    spill stages to host (not implemented).
+    Memory (``host_spill``, default auto): when the largest whole-corpus stage
+    buffer (n, T, max(D, I)) f32 would exceed ~2 GB — every 30B/65B geometry,
+    and 7B at the full reference protocol — stage activations live in HOST
+    numpy buffers and only one ``batch`` slice is resident per device step,
+    with the quantized output leaves also written back to host. The device
+    then holds one layer's weights + one Hessian + one calibration slice at a
+    time, matching the reference's one-block-on-device discipline
+    (reference quantize/gptq.py:74-75,116-129). ``host_spill=False`` keeps
+    everything on device (fastest at small scale); ``True`` forces spilling.
 
     Returns params with the same quantized leaf layout as
     ``llama.quantize_params(config.replace(quantize="int4"))``.
     """
+    import numpy as np
+
     n_samples, T = calib_tokens.shape
     rope_full = build_rope_cache(config.block_size, config.head_size)
     rope = jax.lax.slice_in_dim(rope_full, 0, T, axis=0)
     mask = jnp.tril(jnp.ones((T, T), bool))[None, None]
     D = config.n_embd
 
-    xs = params["wte"][calib_tokens].astype(jnp.float32)  # (n, T, D)
+    if host_spill is None:
+        widest = max(D, config.intermediate_size)
+        host_spill = n_samples * T * widest * 4 > 2 * 2**30
+
+    wte = jnp.asarray(params["wte"])  # one device copy, not one per batch
+    xs = _stage_concat(
+        [
+            jnp.take(wte, jnp.asarray(calib_tokens[b : b + batch]), axis=0).astype(
+                jnp.float32
+            )
+            for b in range(0, n_samples, batch)
+        ],
+        host_spill,
+    )
+    del wte
 
     out = jax.tree_util.tree_map(lambda a: a, params)
     L = config.n_layer
@@ -280,20 +312,35 @@ def quantize_model_gptq(
     def _hessian(tap_batches):
         H = jnp.zeros((tap_batches[0].shape[-1],) * 2, jnp.float32)
         for t in tap_batches:
-            H = accumulate_hessian(H, t)
+            if host_spill:
+                # one batch slice on device at a time (the x2ᵀx2 partial sums
+                # accumulate identically; only fp addition order differs)
+                for b in range(0, t.shape[0], batch):
+                    H = accumulate_hessian(H, jnp.asarray(t[b : b + batch]))
+            else:
+                H = accumulate_hessian(H, t)
         return H
 
     def _quantize_into(lp, t, H):
-        w = _get(lp, t)["w"].astype(jnp.float32)
+        w = jnp.asarray(_get(lp, t)["w"]).astype(jnp.float32)
         q, s, z = gptq_quantize_matrix(w, H, groupsize=groupsize, actorder=actorder)
         _get(lp, t).pop("w")
-        _get(lp, t)["qw"] = pack_q4(q)
-        _get(lp, t)["qscale"] = s
-        _get(lp, t)["qzero"] = z
+        if host_spill:
+            _get(lp, t)["qw"] = np.asarray(pack_q4(q))
+            _get(lp, t)["qscale"] = np.asarray(s)
+            _get(lp, t)["qzero"] = np.asarray(z)
+        else:
+            _get(lp, t)["qw"] = pack_q4(q)
+            _get(lp, t)["qscale"] = s
+            _get(lp, t)["qzero"] = z
 
     def _batched(fn, *arrays):
-        return jnp.concatenate(
-            [fn(*(a[b : b + batch] for a in arrays)) for b in range(0, n_samples, batch)]
+        return _stage_concat(
+            [
+                fn(*(jnp.asarray(a[b : b + batch]) for a in arrays))
+                for b in range(0, n_samples, batch)
+            ],
+            host_spill,
         )
 
     for layer in range(L):
@@ -324,26 +371,45 @@ def quantize_model_gptq(
         # stage E: propagate through the fully quantized block
         xs = _batched(lambda x, g: x + linear(lp["mlp"]["c_proj"], g), x2, gate)
         del x2, gate
-        # write the quantized leaves back into the stacked tree
+        # write the quantized leaves back into the stacked tree (host numpy
+        # buffers when spilling — the full-model int4 tree at 65B is ~33 GB,
+        # which must not pin HBM during calibration)
         for t in _BLOCK_TARGETS:
             dst = _get(out["h"], t)
             if "w" in dst:
                 dst.pop("w")
-                dst["qw"] = jnp.zeros((L,) + _get(lp, t)["qw"].shape, jnp.uint8)
-                dst["qscale"] = jnp.zeros((L,) + _get(lp, t)["qscale"].shape, jnp.float32)
-                dst["qzero"] = jnp.zeros((L,) + _get(lp, t)["qzero"].shape, jnp.float32)
-            dst["qw"] = dst["qw"].at[layer].set(_get(lp, t)["qw"])
-            dst["qscale"] = dst["qscale"].at[layer].set(_get(lp, t)["qscale"])
-            dst["qzero"] = dst["qzero"].at[layer].set(_get(lp, t)["qzero"])
+                zeros_fn = np.zeros if host_spill else jnp.zeros
+                dst["qw"] = zeros_fn((L,) + _get(lp, t)["qw"].shape, jnp.uint8)
+                dst["qscale"] = zeros_fn(
+                    (L,) + _get(lp, t)["qscale"].shape, jnp.float32
+                )
+                dst["qzero"] = zeros_fn(
+                    (L,) + _get(lp, t)["qzero"].shape, jnp.float32
+                )
+            if host_spill:
+                dst["qw"][layer] = _get(lp, t)["qw"]
+                dst["qscale"][layer] = _get(lp, t)["qscale"]
+                dst["qzero"][layer] = _get(lp, t)["qzero"]
+            else:
+                dst["qw"] = dst["qw"].at[layer].set(_get(lp, t)["qw"])
+                dst["qscale"] = dst["qscale"].at[layer].set(_get(lp, t)["qscale"])
+                dst["qzero"] = dst["qzero"].at[layer].set(_get(lp, t)["qzero"])
 
     # lm_head on final-norm output (reference: quantize/gptq.py:131-150)
-    h_final = rms_norm(xs, params["ln_f"])
     Hlm = jnp.zeros((D, D), jnp.float32)
     for b in range(0, n_samples, batch):
-        Hlm = accumulate_hessian(Hlm, h_final[b : b + batch])
+        h_b = rms_norm(jnp.asarray(xs[b : b + batch]), params["ln_f"])
+        Hlm = accumulate_hessian(Hlm, h_b)
     q, s, z = gptq_quantize_matrix(
-        params["lm_head"]["w"].astype(jnp.float32), Hlm, groupsize=groupsize,
-        actorder=actorder
+        jnp.asarray(params["lm_head"]["w"]).astype(jnp.float32), Hlm,
+        groupsize=groupsize, actorder=actorder
     )
-    out["lm_head"] = {"qw": pack_q4(q), "qscale": s, "qzero": z}
+    if host_spill:
+        out["lm_head"] = {
+            "qw": np.asarray(pack_q4(q)),
+            "qscale": np.asarray(s),
+            "qzero": np.asarray(z),
+        }
+    else:
+        out["lm_head"] = {"qw": pack_q4(q), "qscale": s, "qzero": z}
     return out
