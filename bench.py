@@ -146,16 +146,23 @@ def build_decode_params(config):
     return params, config
 
 
-def _measure_serving(params, config, max_batch: int = 32):
+def _measure_serving(params, config, max_batch: int = 32, steps_per_sync=None,
+                     prefill_budget=None):
     """Continuous-batching aggregate tok/s and p50 TTFT at the headline slot
     count (the BASELINE metric names p50 TTFT; scripts/bench_serving.py is the
-    full-featured tool — this is its driver-parseable core). Offered load is
-    2x the slot count of mixed-length prompts so TTFT reflects admission under
-    a busy engine rather than an idle one."""
+    full-featured tool — this is its driver-parseable core, and the numbers
+    README/howto quote are THESE, not the sweep's). Offered load is 2x the
+    slot count of mixed-length prompts so TTFT reflects admission under a
+    busy engine rather than an idle one. Engine knobs are env-overridable for
+    on-chip A/Bs without editing the harness."""
     import numpy as np
 
     from lit_llama_tpu.serve.engine import DecodeEngine
 
+    if steps_per_sync is None:
+        steps_per_sync = int(os.environ.get("LIT_LLAMA_TPU_BENCH_SPS", "8"))
+    if prefill_budget is None:
+        prefill_budget = int(os.environ.get("LIT_LLAMA_TPU_BENCH_PB", "1024"))
     n_requests = 2 * max_batch
     max_new, max_seq = 64, 256
     rng = np.random.default_rng(0)
@@ -166,7 +173,8 @@ def _measure_serving(params, config, max_batch: int = 32):
     ]
     engine = DecodeEngine(
         params, config, max_batch=max_batch, max_seq_length=max_seq,
-        steps_per_sync=8, prefill_chunk=512, prefill_budget=1024,
+        steps_per_sync=steps_per_sync, prefill_chunk=512,
+        prefill_budget=prefill_budget,
     )
     t0 = time.perf_counter()
     engine.warmup()
@@ -312,6 +320,25 @@ def run_bench() -> None:
         except Exception as e:  # noqa: BLE001
             record["extra_rows"].append(
                 {"metric": "serving_tok_s_32slots", "error": str(e)[:300]}
+            )
+
+        # 64-slot row (CHIP_RUNBOOK r5: int4 weights 3.3 GB + 64x256 packed
+        # cache fits HBM; the weight stream amortizes over 2x the slots)
+        try:
+            serve64, ttft64, warm64 = _measure_serving(params, config, 64)
+            record["extra_rows"].append(
+                {
+                    "metric": "serving_tok_s_64slots",
+                    "value": round(serve64, 1),
+                    "unit": "tokens/sec/chip",
+                }
+            )
+            notes.append(
+                f"serving64 warmup {warm64:.1f}s ttft_p50 {ttft64:.2f}s"
+            )
+        except Exception as e:  # noqa: BLE001
+            record["extra_rows"].append(
+                {"metric": "serving_tok_s_64slots", "error": str(e)[:300]}
             )
 
         # llm.int8 decode row (the OTHER named BASELINE bit-width; the int4
