@@ -3,10 +3,13 @@
 Decode attention is pure cache-read bandwidth (the reference runs it inside
 SDPA, lit_llama/model.py:230; our XLA fallback is a dequant + einsum chain
 that costs ~5 ms/step at 7B S=2048). This kernel streams the cache once,
-computing the online softmax in fp32 scratch, and consumes the int8 KV cache
-DIRECTLY — the per-position scales fold into the score and the weighted sum,
-so the "half read bandwidth" of kv_cache_dtype="int8" is actually realized
-instead of being spent on separate XLA dequant passes.
+computing the online softmax in fp32 scratch. An int8-cache variant that
+consumes the quantized cache directly (scales folded into the score and the
+weighted sum) exists below but is NOT dispatched: its i8->f32 widening is
+VPU-bound and measured slower end-to-end than XLA's fused dequant+einsum
+(64 vs 68.5 tok/s at S=2048), so models/llama.py routes int8 caches to the
+XLA path and kv_cache_dtype="int8" remains a CAPACITY feature (2x the slots
+or context per HBM), not a bandwidth one.
 
 Shapes: q (B, H, 1, hs); k/v (B, H, S, hs) in compute dtype or int8 with
 ks/vs (B, H, S, 1) fp32 scales; limit (B,) int32 — key slot s is visible to

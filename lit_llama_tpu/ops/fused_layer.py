@@ -166,8 +166,47 @@ def quad_view(qw: jnp.ndarray, bn: int) -> jnp.ndarray:
     return words.reshape(*lead, Kh, N // 4)
 
 
+def _mv_dmas(bufs, sems, slot, nb, qw, qs, qz, *, Kh, bn, bnw, quad, blocked,
+             layer=None):
+    """The three async copies landing weight block ``nb`` into buffer ``slot``.
+
+    Standalone (not a closure) so a PREVIOUS pipeline stage can start the next
+    stage's block-0 copies into the free slot of the SHARED buffer set while
+    its own last block computes (cross-stage prefetch — the stage-boundary
+    bubble was the whole-layer kernel's remaining fixed cost). Waits construct
+    an identical descriptor; Pallas matches them through the semaphore."""
+    wbuf, sbuf, zbuf = bufs
+    n0 = nb * bnw if quad else nb * bn
+    wn = bnw if quad else bn
+    if layer is None:
+        w_src = qw.at[:, pl.ds(n0, wn)]
+        if blocked:
+            s_src, z_src = qs.at[nb], qz.at[nb]
+        else:
+            s_src = qs.at[:, pl.ds(nb * bn, bn)]
+            z_src = qz.at[:, pl.ds(nb * bn, bn)]
+    else:
+        w_src = qw.at[layer, :, pl.ds(n0, wn)]
+        if blocked:
+            s_src, z_src = qs.at[layer, nb], qz.at[layer, nb]
+        else:
+            s_src = qs.at[layer, :, pl.ds(nb * bn, bn)]
+            z_src = qz.at[layer, :, pl.ds(nb * bn, bn)]
+    # shared buffer sets are max-shaped over the stages they serve; land the
+    # block in the leading corner (slices are static and tile-aligned)
+    sG = qs.shape[-2]  # G8 (blocked) or G (legacy column-slice layout)
+    w_dst = wbuf.at[slot, :Kh, :wn]
+    s_dst = sbuf.at[slot, :sG, :bn]
+    z_dst = zbuf.at[slot, :sG, :bn]
+    return (
+        pltpu.make_async_copy(w_src, w_dst, sems.at[slot, 0]),
+        pltpu.make_async_copy(s_src, s_dst, sems.at[slot, 1]),
+        pltpu.make_async_copy(z_src, z_dst, sems.at[slot, 2]),
+    )
+
+
 def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
-             residual_ref=None, sublanes=8, layer=None):
+             residual_ref=None, sublanes=8, layer=None, pipe=None):
     """dst[:, :N] = src @ dequant(qw) (+ residual), streaming the weight.
 
     src_ref: (8, K) f32 VMEM scratch (row 0 live). qw (K/2, N) u8 HBM,
@@ -177,6 +216,14 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
     ``layer``: dynamic leading index when the planes are STACKED (L, ...) —
     the whole-step megakernel walks layers inside one launch (fori_loop), so
     every DMA picks its layer's plane with a dynamic first index.
+
+    ``pipe``: cross-stage pipelining state — dict with ``bufs`` (shared
+    (wbuf, sbuf, zbuf) kernel-scope buffers), ``sems`` (2, 3), ``slot0``
+    (static parity offset continuing the predecessor's double-buffer chain),
+    ``started`` (block 0's DMAs were already launched by the predecessor) and
+    ``next_start`` (callable(free_slot) run while the LAST block computes, to
+    launch the successor's block-0 copies). None = self-contained run_scoped
+    (the original behavior; interpret tests and unblocked-scale callers).
     """
     G = K // gs
     Gh = G // 2
@@ -192,6 +239,8 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
     G8 = qs.shape[-2] if blocked else G
     if blocked:
         assert qs.shape[-3:] == (NB, G8, bn) and G8 == _round8(G), (qs.shape, G, bn)
+    if pipe is not None:
+        assert not quad and blocked, "pipelined stages need blocked scales"
 
     # group sums of src for the factored zero-point term (f32, exact).
     # NOTE the lane-split reshape (8, K) -> (8, G, gs) is the one op here
@@ -202,28 +251,11 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
     gx = jnp.sum(src_ref[:].reshape(sublanes, G, gs), axis=2)  # (8, G)
     gx_lo, gx_hi = gx[:, :Gh], gx[:, Gh:]
 
-    def stage(wbuf, sbuf, zbuf, sems):
+    def stage(wbuf, sbuf, zbuf, sems, slot0=0, started=False, next_start=None):
         def dmas(slot, nb):
-            n0 = nb * bnw if quad else nb * bn
-            wn = bnw if quad else bn
-            if layer is None:
-                w_src = qw.at[:, pl.ds(n0, wn)]
-                if blocked:
-                    s_src, z_src = qs.at[nb], qz.at[nb]
-                else:
-                    s_src = qs.at[:, pl.ds(nb * bn, bn)]
-                    z_src = qz.at[:, pl.ds(nb * bn, bn)]
-            else:
-                w_src = qw.at[layer, :, pl.ds(n0, wn)]
-                if blocked:
-                    s_src, z_src = qs.at[layer, nb], qz.at[layer, nb]
-                else:
-                    s_src = qs.at[layer, :, pl.ds(nb * bn, bn)]
-                    z_src = qz.at[layer, :, pl.ds(nb * bn, bn)]
-            return (
-                pltpu.make_async_copy(w_src, wbuf.at[slot], sems.at[slot, 0]),
-                pltpu.make_async_copy(s_src, sbuf.at[slot], sems.at[slot, 1]),
-                pltpu.make_async_copy(z_src, zbuf.at[slot], sems.at[slot, 2]),
+            return _mv_dmas(
+                (wbuf, sbuf, zbuf), sems, slot, nb, qw, qs, qz,
+                Kh=Kh, bn=bn, bnw=bnw, quad=quad, blocked=blocked, layer=layer,
             )
 
         # Nibble decode strategy (VPU-unpack-bound kernels, ~82% of HBM peak):
@@ -238,17 +270,22 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
 
         arith_unpack = os.environ.get("LIT_LLAMA_TPU_UNPACK", "i32") == "arith"
 
-        for d in dmas(0, 0):
-            d.start()
+        if not started:
+            for d in dmas(slot0, 0):
+                d.start()
         for nb in range(NB):  # static: block count is shape-derived
-            slot = nb % 2
+            slot = (nb + slot0) % 2
             if nb + 1 < NB:
-                for d in dmas((nb + 1) % 2, nb + 1):
+                for d in dmas((nb + 1 + slot0) % 2, nb + 1):
                     d.start()
+            elif next_start is not None:
+                # cross-stage prefetch: launch the successor's block-0 copies
+                # into the free slot while this last block computes
+                next_start((nb + 1 + slot0) % 2)
             for d in dmas(slot, nb):
                 d.wait()
             if quad:
-                pw = wbuf[slot]  # (Kh, bnw) u32 column-quad words
+                pw = wbuf[slot, :Kh, :bnw]  # (Kh, bnw) u32 column-quad words
             elif arith_unpack:
                 # (Kh, bn) exact byte values; this Mosaic toolchain supports
                 # neither u8->bf16 nor u8->f32 directly — widen u8->i32->f32
@@ -256,19 +293,19 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
                 # path materializes anyway); the per-group nibble math then
                 # runs in bf16 at 2x the register density of i32 shift/mask.
                 pf = (
-                    wbuf[slot]
+                    wbuf[slot, :Kh, :bn]
                     .astype(jnp.int32)
                     .astype(jnp.float32)
                     .astype(cdtype)
                 )
             else:
-                p32 = wbuf[slot].astype(jnp.int32)  # (Kh, bn)
+                p32 = wbuf[slot, :Kh, :bn].astype(jnp.int32)  # (Kh, bn)
             acc = jax.lax.dot_general(
-                gx_lo, zbuf[slot][:Gh], (((1,), (0,)), ((), ())),
+                gx_lo, zbuf[slot, :Gh, :bn], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             acc += jax.lax.dot_general(
-                gx_hi, zbuf[slot][Gh:G], (((1,), (0,)), ((), ())),
+                gx_hi, zbuf[slot, Gh:G, :bn], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             if quad:
@@ -297,8 +334,8 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
                         )
                         cs = slice(i * bnw, (i + 1) * bnw)
                         qacc[i] = qacc[i] + (
-                            lo_dot * sbuf[slot][g : g + 1, cs]
-                            + hi_dot * sbuf[slot][Gh + g : Gh + g + 1, cs]
+                            lo_dot * sbuf[slot, g : g + 1, cs]
+                            + hi_dot * sbuf[slot, Gh + g : Gh + g + 1, cs]
                         )
                 acc = jnp.concatenate(qacc, axis=1)
                 if residual_ref is not None:
@@ -324,21 +361,30 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
                     xhi, high_q, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                acc += lo_dot * sbuf[slot][g : g + 1]
-                acc += hi_dot * sbuf[slot][Gh + g : Gh + g + 1]
+                acc += lo_dot * sbuf[slot, g : g + 1, :bn]
+                acc += hi_dot * sbuf[slot, Gh + g : Gh + g + 1, :bn]
             if residual_ref is not None:
                 acc += residual_ref[:, nb * bn : (nb + 1) * bn]
             dst_ref[:, nb * bn : (nb + 1) * bn] = acc
 
-    pl.run_scoped(
-        stage,
-        pltpu.VMEM((2, Kh, bnw), jnp.uint32)
-        if quad
-        else pltpu.VMEM((2, Kh, bn), jnp.uint8),
-        pltpu.VMEM((2, G8, bn), jnp.float32),
-        pltpu.VMEM((2, G8, bn), jnp.float32),
-        pltpu.SemaphoreType.DMA((2, 3)),
-    )
+    if pipe is None:
+        pl.run_scoped(
+            stage,
+            pltpu.VMEM((2, Kh, bnw), jnp.uint32)
+            if quad
+            else pltpu.VMEM((2, Kh, bn), jnp.uint8),
+            pltpu.VMEM((2, G8, bn), jnp.float32),
+            pltpu.VMEM((2, G8, bn), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        )
+    else:
+        wb, sb, zb = pipe["bufs"]
+        stage(
+            wb, sb, zb, pipe["sems"],
+            slot0=pipe.get("slot0", 0),
+            started=pipe.get("started", False),
+            next_start=pipe.get("next_start"),
+        )
 
 
 def _decode_attention(q3_ref, kc, vc, o_ref, limit, *, H, S, hs, bs, packed,
@@ -463,7 +509,7 @@ def _layer_kernel(
     # lora=True: la (D, R8), lb (R8, 3D) — see prepare_lora_operands)
     *refs,
     D, I, H, S, hs, gs, bn_ca, bn_cp, bn_f12, bn_mp, bs, packed, cdtype,
-    lora=False,
+    lora=False, pipelined=False,
 ):
     if lora:
         la_ref, lb_ref = refs[0], refs[1]
@@ -478,9 +524,59 @@ def _layer_kernel(
         xo_ref, kc_out, vc_out,
         # persistent scratch
         xs, h, qkv, fg, gg, q3, knew, vnew,
+        *pipe_refs,
     ) = refs
     wp = wp_ref[0]
     limit = limit_ref[0]
+
+    # Cross-stage DMA pipelining (the round-5 single-stream lever): the four
+    # weight-stream stages chain through kernel-scope shared buffer sets —
+    # A (K = D: c_attn, attn.c_proj, c_fc12) and B (K = I: mlp.c_proj) — so
+    # each stage's block-0 copies are launched by its PREDECESSOR's last
+    # block instead of cold at stage entry. The stage-boundary bubble
+    # (block-0 fetch + DMA issue, x4 stages x L layers) was the kernel
+    # chain's remaining fixed cost.
+    if pipelined:
+        pwA, psA, pzA, semA, pwB, psB, pzB, semB = pipe_refs
+        bufsA, bufsB = (pwA, psA, pzA), (pwB, psB, pzB)
+        NB_ca, NB_cp, NB_f12 = 3 * D // bn_ca, D // bn_cp, 2 * I // bn_f12
+        s_cp = NB_ca % 2
+        s_f12 = (s_cp + NB_cp) % 2
+
+        def start_stage(bufs, sems, qw_, qs_, qz_, Kh_, bn_):
+            def go(free_slot):
+                for d in _mv_dmas(
+                    bufs, sems, free_slot, 0, qw_, qs_, qz_,
+                    Kh=Kh_, bn=bn_, bnw=bn_ // 4, quad=False, blocked=True,
+                ):
+                    d.start()
+
+            return go
+
+        start_cp = start_stage(bufsA, semA, cp_qw, cp_qs, cp_qz, D // 2, bn_cp)
+        start_f12 = start_stage(
+            bufsA, semA, f12_qw, f12_qs, f12_qz, D // 2, bn_f12
+        )
+
+        def start_mp(_free_slot_of_A):
+            for d in _mv_dmas(
+                bufsB, semB, 0, 0, mp_qw, mp_qs, mp_qz,
+                Kh=I // 2, bn=bn_mp, bnw=bn_mp // 4, quad=False, blocked=True,
+            ):
+                d.start()
+
+        pipe_ca = dict(bufs=bufsA, sems=semA, slot0=0, next_start=start_cp)
+        pipe_cp = dict(
+            bufs=bufsA, sems=semA, slot0=s_cp, started=True,
+            next_start=start_f12,
+        )
+        pipe_f12 = dict(
+            bufs=bufsA, sems=semA, slot0=s_f12, started=True,
+            next_start=start_mp,
+        )
+        pipe_mp = dict(bufs=bufsB, sems=semB, slot0=0, started=True)
+    else:
+        pipe_ca = pipe_cp = pipe_f12 = pipe_mp = None
 
     # residual stream: row 0 live, rows 1-7 identically zero
     xs[:] = jnp.zeros_like(xs)
@@ -489,7 +585,7 @@ def _layer_kernel(
     # ---- attention half ----------------------------------------------------
     h[:] = _rms_norm_rows(xs[:], rms1_ref)
     _mv_int4(h, qkv, ca_qw, ca_qs, ca_qz, K=D, N=3 * D, gs=gs, bn=bn_ca,
-             cdtype=cdtype)
+             cdtype=cdtype, pipe=pipe_ca)
     if lora:
         _add_lora_delta(h, qkv, la_ref, lb_ref)
 
@@ -581,15 +677,15 @@ def _layer_kernel(
     pl.run_scoped(att_out, pltpu.VMEM((H, hs), jnp.float32))
 
     _mv_int4(h, xs, cp_qw, cp_qs, cp_qz, K=D, N=D, gs=gs, bn=bn_cp,
-             cdtype=cdtype, residual_ref=xs)
+             cdtype=cdtype, residual_ref=xs, pipe=pipe_cp)
 
     # ---- MLP half -----------------------------------------------------------
     h[:] = _rms_norm_rows(xs[:], rms2_ref)
     _mv_int4(h, fg, f12_qw, f12_qs, f12_qz, K=D, N=2 * I, gs=gs, bn=bn_f12,
-             cdtype=cdtype)
+             cdtype=cdtype, pipe=pipe_f12)
     gg[:] = jax.nn.silu(fg[:, :I]) * fg[:, I:]
     _mv_int4(gg, xs, mp_qw, mp_qs, mp_qz, K=I, N=D, gs=gs, bn=bn_mp,
-             cdtype=cdtype, residual_ref=xs)
+             cdtype=cdtype, residual_ref=xs, pipe=pipe_mp)
 
     xo_ref[:] = xs[0:1, :].astype(xo_ref.dtype)
 
@@ -635,10 +731,18 @@ def _call_layer(
     bn_f12 = _pick_bn(2 * I, D)
     bn_mp = _pick_bn(D, I)
     bs = _pick_bs(S, H, hs, 2 if packed else kc.dtype.itemsize)
+    # cross-stage pipelining needs the blocked scale layout (prepared params)
+    pipelined = weights["ca_qs"].ndim == 3 and weights["ca_qw"].dtype == jnp.uint8
+    if pipelined and bs > 128 and S % 128 == 0:
+        # the shared stage buffers (~7 MB) live for the whole kernel; halve
+        # the attention streaming block so peak VMEM stays under the core's
+        # ~16 MB (1 MB cache DMAs still amortize issue cost fully)
+        bs = 128
     kernel = functools.partial(
         _layer_kernel, D=D, I=I, H=H, S=S, hs=hs, gs=gs,
         bn_ca=bn_ca, bn_cp=bn_cp, bn_f12=bn_f12, bn_mp=bn_mp, bs=bs,
         packed=packed, cdtype=jnp.dtype(cdtype), lora=lora,
+        pipelined=pipelined,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -674,7 +778,29 @@ def _call_layer(
             pltpu.VMEM((H, hs), jnp.float32),      # q3 (rotated query, f32)
             new_shape[0],                          # knew (bits / row)
             new_shape[1],                          # vnew
-        ],
+        ]
+        + (
+            [
+                # shared weight-stream buffer sets for the stage chain:
+                # A serves the K=D stages (ca/cp/f12), B the K=I stage (mp)
+                pltpu.VMEM((2, D // 2, max(bn_ca, bn_cp, bn_f12)), jnp.uint8),
+                pltpu.VMEM(
+                    (2, _round8(D // gs), max(bn_ca, bn_cp, bn_f12)),
+                    jnp.float32,
+                ),
+                pltpu.VMEM(
+                    (2, _round8(D // gs), max(bn_ca, bn_cp, bn_f12)),
+                    jnp.float32,
+                ),
+                pltpu.SemaphoreType.DMA((2, 3)),
+                pltpu.VMEM((2, I // 2, bn_mp), jnp.uint8),
+                pltpu.VMEM((2, _round8(I // gs), bn_mp), jnp.float32),
+                pltpu.VMEM((2, _round8(I // gs), bn_mp), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ]
+            if pipelined
+            else []
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * (4 * D * D + 3 * D * I) + 4 * H * S * hs
             + (2 * R8 * (D + 3 * D) if lora else 0),
