@@ -731,8 +731,11 @@ def _call_layer(
     bn_f12 = _pick_bn(2 * I, D)
     bn_mp = _pick_bn(D, I)
     bs = _pick_bs(S, H, hs, 2 if packed else kc.dtype.itemsize)
-    # cross-stage pipelining needs the blocked scale layout (prepared params)
-    pipelined = weights["ca_qs"].ndim == 3 and weights["ca_qw"].dtype == jnp.uint8
+    # cross-stage pipelining needs the blocked scale layout on EVERY stage
+    # (tiny test vocabs can leave individual planes in the legacy layout)
+    pipelined = all(
+        weights[k].ndim == 3 for k in ("ca_qs", "cp_qs", "f12_qs", "mp_qs")
+    ) and weights["ca_qw"].dtype == jnp.uint8
     if pipelined and bs > 128 and S % 128 == 0:
         # the shared stage buffers (~7 MB) live for the whole kernel; halve
         # the attention streaming block so peak VMEM stays under the core's
