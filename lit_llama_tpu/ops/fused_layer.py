@@ -1259,21 +1259,54 @@ def _block_head_kernel(
 
 def _block_tail_kernel(
     x_ref, y_ref, rms2_ref, cp_qw, cp_qs, cp_qz, f12_qw, f12_qs, f12_qz,
-    mp_qw, mp_qs, mp_qz, o_ref, xs, h, fg, gg,
-    *, B, D, I, gs, bn_cp, bn_f12, bn_mp, cdtype,
+    mp_qw, mp_qs, mp_qz, o_ref, xs, h, fg, gg, *pipe_refs,
+    B, D, I, gs, bn_cp, bn_f12, bn_mp, cdtype, pipelined=False,
 ):
     """Everything after attention for B slots: x + c_proj(y), rms_2, SwiGLU,
-    + mlp projection — one launch."""
+    + mlp projection — one launch. With ``pipelined`` (blocked scales), the
+    three weight streams chain through shared buffer sets like the
+    single-stream whole-layer kernel: f12's and mp's block-0 copies launch
+    from their predecessor's last block."""
+    if pipelined:
+        pwA, psA, pzA, semA, pwB, psB, pzB, semB = pipe_refs
+        bufsA, bufsB = (pwA, psA, pzA), (pwB, psB, pzB)
+        s_f12 = (D // bn_cp) % 2
+
+        def start_f12(free_slot):
+            for d in _mv_dmas(
+                bufsA, semA, free_slot, 0, f12_qw, f12_qs, f12_qz,
+                Kh=D // 2, bn=bn_f12, bnw=bn_f12 // 4, quad=False,
+                blocked=True,
+            ):
+                d.start()
+
+        def start_mp(_free):
+            for d in _mv_dmas(
+                bufsB, semB, 0, 0, mp_qw, mp_qs, mp_qz,
+                Kh=I // 2, bn=bn_mp, bnw=bn_mp // 4, quad=False, blocked=True,
+            ):
+                d.start()
+
+        pipe_cp = dict(bufs=bufsA, sems=semA, slot0=0, next_start=start_f12)
+        pipe_f12 = dict(
+            bufs=bufsA, sems=semA, slot0=s_f12, started=True,
+            next_start=start_mp,
+        )
+        pipe_mp = dict(bufs=bufsB, sems=semB, slot0=0, started=True)
+    else:
+        pipe_cp = pipe_f12 = pipe_mp = None
     xs[:] = x_ref[:].astype(jnp.float32)
     h[:] = y_ref[:].astype(jnp.float32)
     _mv_int4(h, xs, cp_qw, cp_qs, cp_qz, K=D, N=D, gs=gs, bn=bn_cp,
-             cdtype=cdtype, residual_ref=xs, sublanes=xs.shape[0])
+             cdtype=cdtype, residual_ref=xs, sublanes=xs.shape[0],
+             pipe=pipe_cp)
     h[:] = _rms_norm_rows(xs[:], rms2_ref)
     _mv_int4(h, fg, f12_qw, f12_qs, f12_qz, K=D, N=2 * I, gs=gs, bn=bn_f12,
-             cdtype=cdtype, sublanes=xs.shape[0])
+             cdtype=cdtype, sublanes=xs.shape[0], pipe=pipe_f12)
     gg[:] = jax.nn.silu(fg[:, :I]) * fg[:, I:]
     _mv_int4(gg, xs, mp_qw, mp_qs, mp_qz, K=I, N=D, gs=gs, bn=bn_mp,
-             cdtype=cdtype, residual_ref=xs, sublanes=xs.shape[0])
+             cdtype=cdtype, residual_ref=xs, sublanes=xs.shape[0],
+             pipe=pipe_mp)
     o_ref[:] = xs[:B].astype(o_ref.dtype)
 
 
@@ -1328,10 +1361,14 @@ def block_tail_fused(x, y, rms2, cp, f12, mp, *, B, D, I, gs, cdtype,
     if Bp != B:
         x = jnp.pad(x, ((0, Bp - B), (0, 0)))
         y = jnp.pad(y, ((0, Bp - B), (0, 0)))
+    bn_cp, bn_f12, bn_mp = _pick_bn(D, D), _pick_bn(2 * I, D), _pick_bn(D, I)
+    pipelined = cp.get("qscale_b") is not None and f12.get(
+        "qscale_b"
+    ) is not None and mp.get("qscale_b") is not None
     kernel = functools.partial(
         _block_tail_kernel, B=B, D=D, I=I, gs=gs,
-        bn_cp=_pick_bn(D, D), bn_f12=_pick_bn(2 * I, D), bn_mp=_pick_bn(D, I),
-        cdtype=jnp.dtype(cdtype),
+        bn_cp=bn_cp, bn_f12=bn_f12, bn_mp=bn_mp,
+        cdtype=jnp.dtype(cdtype), pipelined=pipelined,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
@@ -1345,7 +1382,21 @@ def block_tail_fused(x, y, rms2, cp, f12, mp, *, B, D, I, gs, cdtype,
             pltpu.VMEM((Bp, D), jnp.float32),
             pltpu.VMEM((Bp, 2 * I), jnp.float32),
             pltpu.VMEM((Bp, I), jnp.float32),
-        ],
+        ]
+        + (
+            [
+                pltpu.VMEM((2, D // 2, max(bn_cp, bn_f12)), jnp.uint8),
+                pltpu.VMEM((2, _round8(D // gs), max(bn_cp, bn_f12)), jnp.float32),
+                pltpu.VMEM((2, _round8(D // gs), max(bn_cp, bn_f12)), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 3)),
+                pltpu.VMEM((2, I // 2, bn_mp), jnp.uint8),
+                pltpu.VMEM((2, _round8(I // gs), bn_mp), jnp.float32),
+                pltpu.VMEM((2, _round8(I // gs), bn_mp), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ]
+            if pipelined
+            else []
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * (D * D + 3 * D * I),
             bytes_accessed=D * D // 2 + 3 * D * I // 2,
