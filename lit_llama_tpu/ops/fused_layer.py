@@ -933,8 +933,9 @@ def _step_kernel(
     kc_in, vc_in,
     lo_ref, kc_out, vc_out,
     xs, h, qkv, fg, gg, q3, knew, vnew, logits_s, rmsb, rsem,
-    *, L, D, I, H, S, hs, gs, V,
-    bn_ca, bn_cp, bn_f12, bn_mp, bn_hd, bs, packed, cdtype,
+    *pipe_refs,
+    L, D, I, H, S, hs, gs, V,
+    bn_ca, bn_cp, bn_f12, bn_mp, bn_hd, bs, packed, cdtype, pipelined=False,
 ):
     wp = wp_ref[0]
     limit = limit_ref[0]
@@ -946,6 +947,50 @@ def _step_kernel(
     rot = pltpu.roll
 
     def layer(l, carry):
+        # Within-layer cross-stage DMA chain (same scheme as _layer_kernel):
+        # ca starts cold each layer (chaining ACROSS the fori_loop boundary
+        # would need a layer-invariant slot parity, and NB_ca+NB_cp+NB_f12 is
+        # odd at 7B), then cp/f12/mp's block-0 copies launch from their
+        # predecessor's last block. Closures capture the loop-carried l.
+        if pipelined:
+            pwA, psA, pzA, semA, pwB, psB, pzB, semB = pipe_refs
+            bufsA, bufsB = (pwA, psA, pzA), (pwB, psB, pzB)
+            NB_ca, NB_cp = 3 * D // bn_ca, D // bn_cp
+            s_cp = NB_ca % 2
+            s_f12 = (s_cp + NB_cp) % 2
+
+            def start_stage(bufs, sems, qw_, qs_, qz_, Kh_, bn_, slot_=None):
+                def go(free_slot):
+                    for d in _mv_dmas(
+                        bufs, sems, slot_ if slot_ is not None else free_slot,
+                        0, qw_, qs_, qz_, Kh=Kh_, bn=bn_, bnw=bn_ // 4,
+                        quad=False, blocked=True, layer=l,
+                    ):
+                        d.start()
+
+                return go
+
+            pipe_ca = dict(
+                bufs=bufsA, sems=semA, slot0=0,
+                next_start=start_stage(
+                    bufsA, semA, cp_qw, cp_qs, cp_qz, D // 2, bn_cp
+                ),
+            )
+            pipe_cp = dict(
+                bufs=bufsA, sems=semA, slot0=s_cp, started=True,
+                next_start=start_stage(
+                    bufsA, semA, f12_qw, f12_qs, f12_qz, D // 2, bn_f12
+                ),
+            )
+            pipe_f12 = dict(
+                bufs=bufsA, sems=semA, slot0=s_f12, started=True,
+                next_start=start_stage(
+                    bufsB, semB, mp_qw, mp_qs, mp_qz, I // 2, bn_mp, slot_=0
+                ),
+            )
+            pipe_mp = dict(bufs=bufsB, sems=semB, slot0=0, started=True)
+        else:
+            pipe_ca = pipe_cp = pipe_f12 = pipe_mp = None
         # ---- attention half --------------------------------------------
         # rms planes are stacked (L, 1, D) f32 in HBM; fetch this layer's
         # rows with leading-index dynamic DMAs (a dynamic VMEM slice of the
@@ -958,7 +1003,7 @@ def _step_kernel(
         r1.wait()
         h[:] = _rms_norm_rows(xs[:], rmsb.at[0])
         _mv_int4(h, qkv, ca_qw, ca_qs, ca_qz, K=D, N=3 * D, gs=gs, bn=bn_ca,
-                 cdtype=cdtype, layer=l)
+                 cdtype=cdtype, layer=l, pipe=pipe_ca)
         for head in range(H):
             qh = qkv[0:1, head * hs : (head + 1) * hs].astype(jnp.float32)
             kh = qkv[0:1, D + head * hs : D + (head + 1) * hs].astype(jnp.float32)
@@ -1033,16 +1078,16 @@ def _step_kernel(
         pl.run_scoped(att_out, pltpu.VMEM((H, hs), jnp.float32))
 
         _mv_int4(h, xs, cp_qw, cp_qs, cp_qz, K=D, N=D, gs=gs, bn=bn_cp,
-                 cdtype=cdtype, residual_ref=xs, layer=l)
+                 cdtype=cdtype, residual_ref=xs, layer=l, pipe=pipe_cp)
 
         # ---- MLP half ---------------------------------------------------
         r2.wait()
         h[:] = _rms_norm_rows(xs[:], rmsb.at[1])
         _mv_int4(h, fg, f12_qw, f12_qs, f12_qz, K=D, N=2 * I, gs=gs,
-                 bn=bn_f12, cdtype=cdtype, layer=l)
+                 bn=bn_f12, cdtype=cdtype, layer=l, pipe=pipe_f12)
         gg[:] = jax.nn.silu(fg[:, :I]) * fg[:, I:]
         _mv_int4(gg, xs, mp_qw, mp_qs, mp_qz, K=I, N=D, gs=gs, bn=bn_mp,
-                 cdtype=cdtype, residual_ref=xs, layer=l)
+                 cdtype=cdtype, residual_ref=xs, layer=l, pipe=pipe_mp)
         return carry
 
     jax.lax.fori_loop(0, L, layer, 0)
@@ -1065,11 +1110,16 @@ def _call_step(
 ):
     packed = kc.dtype == jnp.uint32
     bs = _pick_bs(S, H, hs, 2 if packed else kc.dtype.itemsize)
+    bn_ca, bn_cp = _pick_bn(3 * D, D), _pick_bn(D, D)
+    bn_f12, bn_mp = _pick_bn(2 * I, D), _pick_bn(D, I)
+    pipelined = mega["ca_qs"].ndim == 4 and mega["ca_qw"].dtype == jnp.uint8
+    if pipelined and bs > 128 and S % 128 == 0:
+        bs = 128  # shared stage buffers live for the whole kernel (VMEM cap)
     kernel = functools.partial(
         _step_kernel, L=L, D=D, I=I, H=H, S=S, hs=hs, gs=gs, V=V,
-        bn_ca=_pick_bn(3 * D, D), bn_cp=_pick_bn(D, D),
-        bn_f12=_pick_bn(2 * I, D), bn_mp=_pick_bn(D, I),
+        bn_ca=bn_ca, bn_cp=bn_cp, bn_f12=bn_f12, bn_mp=bn_mp,
         bn_hd=_pick_bn(V, D), bs=bs, packed=packed, cdtype=jnp.dtype(cdtype),
+        pipelined=pipelined,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1106,7 +1156,27 @@ def _call_step(
             pltpu.VMEM((8, V), jnp.float32),       # logits
             pltpu.VMEM((2, 1, D), jnp.float32),    # rms row buffers
             pltpu.SemaphoreType.DMA((2,)),         # rms DMA semaphores
-        ],
+        ]
+        + (
+            [
+                pltpu.VMEM((2, D // 2, max(bn_ca, bn_cp, bn_f12)), jnp.uint8),
+                pltpu.VMEM(
+                    (2, _round8(D // gs), max(bn_ca, bn_cp, bn_f12)),
+                    jnp.float32,
+                ),
+                pltpu.VMEM(
+                    (2, _round8(D // gs), max(bn_ca, bn_cp, bn_f12)),
+                    jnp.float32,
+                ),
+                pltpu.SemaphoreType.DMA((2, 3)),
+                pltpu.VMEM((2, I // 2, bn_mp), jnp.uint8),
+                pltpu.VMEM((2, _round8(I // gs), bn_mp), jnp.float32),
+                pltpu.VMEM((2, _round8(I // gs), bn_mp), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ]
+            if pipelined
+            else []
+        ),
         cost_estimate=pl.CostEstimate(
             flops=(2 * (4 * D * D + 3 * D * I) + 4 * H * S * hs) * L
             + 2 * D * V,
