@@ -565,7 +565,16 @@ def _layer_kernel(
             ):
                 d.start()
 
-        pipe_ca = dict(bufs=bufsA, sems=semA, slot0=0, next_start=start_cp)
+        # ca's block 0 starts NOW, at kernel entry — the residual-stream init
+        # and rms_1 hide its fetch (nothing about it depends on x)
+        for d in _mv_dmas(
+            bufsA, semA, 0, 0, ca_qw, ca_qs, ca_qz,
+            Kh=D // 2, bn=bn_ca, bnw=bn_ca // 4, quad=False, blocked=True,
+        ):
+            d.start()
+        pipe_ca = dict(
+            bufs=bufsA, sems=semA, slot0=0, started=True, next_start=start_cp
+        )
         pipe_cp = dict(
             bufs=bufsA, sems=semA, slot0=s_cp, started=True,
             next_start=start_f12,
@@ -970,8 +979,12 @@ def _step_kernel(
 
                 return go
 
+            # ca's block 0 starts NOW, at layer entry — the rms-row DMAs and
+            # the norm hide its fetch (nothing about it depends on x)
+            start_stage(bufsA, semA, ca_qw, ca_qs, ca_qz, D // 2, bn_ca,
+                        slot_=0)(0)
             pipe_ca = dict(
-                bufs=bufsA, sems=semA, slot0=0,
+                bufs=bufsA, sems=semA, slot0=0, started=True,
                 next_start=start_stage(
                     bufsA, semA, cp_qw, cp_qs, cp_qz, D // 2, bn_cp
                 ),
