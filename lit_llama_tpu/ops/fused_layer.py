@@ -1370,7 +1370,16 @@ def _block_tail_kernel(
             ):
                 d.start()
 
-        pipe_cp = dict(bufs=bufsA, sems=semA, slot0=0, next_start=start_f12)
+        # cp's block 0 starts NOW — the residual/attention-output copies in
+        # hide its fetch
+        for d in _mv_dmas(
+            bufsA, semA, 0, 0, cp_qw, cp_qs, cp_qz,
+            Kh=D // 2, bn=bn_cp, bnw=bn_cp // 4, quad=False, blocked=True,
+        ):
+            d.start()
+        pipe_cp = dict(
+            bufs=bufsA, sems=semA, slot0=0, started=True, next_start=start_f12
+        )
         pipe_f12 = dict(
             bufs=bufsA, sems=semA, slot0=s_f12, started=True,
             next_start=start_mp,
