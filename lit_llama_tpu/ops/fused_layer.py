@@ -193,11 +193,19 @@ def _mv_dmas(bufs, sems, slot, nb, qw, qs, qz, *, Kh, bn, bnw, quad, blocked,
             s_src = qs.at[layer, :, pl.ds(nb * bn, bn)]
             z_src = qz.at[layer, :, pl.ds(nb * bn, bn)]
     # shared buffer sets are max-shaped over the stages they serve; land the
-    # block in the leading corner (slices are static and tile-aligned)
+    # block in the leading corner (slices are static and tile-aligned). Use
+    # the whole-plane form when the slice is full-extent — the exact DMA
+    # pattern proven on chip for the self-contained path.
     sG = qs.shape[-2]  # G8 (blocked) or G (legacy column-slice layout)
-    w_dst = wbuf.at[slot, :Kh, :wn]
-    s_dst = sbuf.at[slot, :sG, :bn]
-    z_dst = zbuf.at[slot, :sG, :bn]
+
+    def dst(buf, rows, cols):
+        if buf.shape[1:] == (rows, cols):
+            return buf.at[slot]
+        return buf.at[slot, :rows, :cols]
+
+    w_dst = dst(wbuf, Kh, wn)
+    s_dst = dst(sbuf, sG, bn)
+    z_dst = dst(zbuf, sG, bn)
     return (
         pltpu.make_async_copy(w_src, w_dst, sems.at[slot, 0]),
         pltpu.make_async_copy(s_src, s_dst, sems.at[slot, 1]),
