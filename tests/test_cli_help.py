@@ -42,6 +42,12 @@ ENTRY_POINTS = [
     "scripts/make_tiny_checkpoint.py",
     "scripts/bench_serving.py",
     "scripts/bench_training.py",
+    "scripts/eval_quality.py",
+    "scripts/comm_anatomy.py",
+    "scripts/compile_anatomy.py",
+    "scripts/serving_probe.py",
+    "scripts/gptq_65b_dryrun.py",
+    "scripts/prepare_code_corpus.py",
 ]
 
 
