@@ -180,13 +180,27 @@ def _measure_serving(params, config, max_batch: int = 32, steps_per_sync=None,
     engine.warmup()
     warmup_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    for p in prompts:
-        engine.submit(p, max_new)
+    first_wave = set()
+    for i, p in enumerate(prompts):
+        rid = engine.submit(p, max_new)
+        if i < max_batch:
+            first_wave.add(rid)
     done = engine.run()
     wall = time.perf_counter() - t0
     total = sum(len(r.generated) for r in done.values())
+    # Overall p50 TTFT under 2x offered load is dominated by QUEUE wait: the
+    # median request is the second wave's first, which by construction waits
+    # ~the first wave's whole makespan (64 tokens x slots / aggregate). The
+    # first-wave p50 isolates what admission control actually governs —
+    # prefill scheduling latency into a filling engine (the <1.5 s target).
     ttfts = sorted(r.ttft for r in done.values())
-    return total / wall, ttfts[len(ttfts) // 2], warmup_s
+    ttfts_w1 = sorted(r.ttft for rid, r in done.items() if rid in first_wave)
+    return (
+        total / wall,
+        ttfts[len(ttfts) // 2],
+        ttfts_w1[len(ttfts_w1) // 2],
+        warmup_s,
+    )
 
 
 def _measure_decode(params, config, max_new: int, max_seq_length: int):
@@ -303,7 +317,9 @@ def run_bench() -> None:
         # dict so the device buffers drop (a callee-local rebind would not).
         params.pop("mega", None)
         try:
-            serve_tok_s, ttft_p50, warmup_s = _measure_serving(params, config)
+            serve_tok_s, ttft_p50, ttft_w1, warmup_s = _measure_serving(
+                params, config
+            )
             record["extra_rows"] += [
                 {
                     "metric": "serving_tok_s_32slots",
@@ -313,6 +329,11 @@ def run_bench() -> None:
                 {
                     "metric": "serving_ttft_p50_s",
                     "value": round(ttft_p50, 3),
+                    "unit": "seconds",
+                },
+                {
+                    "metric": "serving_ttft_p50_admission_s",
+                    "value": round(ttft_w1, 3),
                     "unit": "seconds",
                 },
             ]
@@ -325,7 +346,9 @@ def run_bench() -> None:
         # 64-slot row (CHIP_RUNBOOK r5: int4 weights 3.3 GB + 64x256 packed
         # cache fits HBM; the weight stream amortizes over 2x the slots)
         try:
-            serve64, ttft64, warm64 = _measure_serving(params, config, 64)
+            serve64, ttft64, _w1_64, warm64 = _measure_serving(
+                params, config, 64
+            )
             record["extra_rows"].append(
                 {
                     "metric": "serving_tok_s_64slots",

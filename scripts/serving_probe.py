@@ -43,7 +43,7 @@ def main(max_batch: int = 32, steps_per_sync: int = 8,
     )
     params, config = build_decode_params(config)
     params.pop("mega", None)
-    tok_s, ttft_p50, warmup_s = _measure_serving(
+    tok_s, ttft_p50, ttft_w1, warmup_s = _measure_serving(
         params, config, max_batch, steps_per_sync, prefill_budget
     )
     print(
@@ -55,6 +55,7 @@ def main(max_batch: int = 32, steps_per_sync: int = 8,
                 "prefill_budget": prefill_budget,
                 "tok_s": round(tok_s, 1),
                 "ttft_p50_s": round(ttft_p50, 3),
+                "ttft_p50_admission_s": round(ttft_w1, 3),
                 "warmup_s": round(warmup_s, 1),
             }
         )
