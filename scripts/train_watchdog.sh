@@ -21,8 +21,16 @@ TARGET_ITER=${TARGET_ITER:-0} # completion = metrics reaches this iter (0: final
 
 log() { echo "watchdog: $* $(date -u +%H:%M:%S)" >> "$OUT/watchdog.log"; }
 
+# NOTE: completion is final/ ONLY. Round 5 learned the hard way that keying
+# done on the metrics iter kills the child DURING its final eval+checkpoint
+# save (the last metrics line lands minutes before final/ does), losing the
+# run's tail. TARGET_ITER now only caps how long we let a child that has
+# REACHED the target keep running without producing final/ (grace below).
 done_yet() {
-  [ -d "$OUT/final" ] && return 0
+  [ -d "$OUT/final" ]
+}
+
+target_reached() {
   if [ "$TARGET_ITER" -gt 0 ] && [ -f "$OUT/metrics.jsonl" ]; then
     LAST=$(tail -5 "$OUT/metrics.jsonl" | sed -n 's/.*"iter": \([0-9]*\).*/\1/p' | sort -n | tail -1)
     [ -n "$LAST" ] && [ "$LAST" -ge $((TARGET_ITER - 1)) ] && return 0
@@ -50,6 +58,7 @@ while :; do
   "$@" "${RESUME[@]}" >> "$OUT/train_r4.log" 2>&1 &
   CHILD=$!
   LAUNCH=$(date +%s)
+  TGT_T=
   while kill -0 "$CHILD" 2>/dev/null; do
     sleep 60
     NOW=$(date +%s)
@@ -67,12 +76,24 @@ while :; do
       break
     fi
     if done_yet; then
-      log "target reached — stopping child $CHILD"
-      kill "$CHILD" 2>/dev/null
-      sleep 10
-      kill -9 "$CHILD" 2>/dev/null
+      # final/ exists: the run finished cleanly; let the child exit on its own
+      log "final checkpoint present — waiting for child $CHILD to exit"
+      wait "$CHILD" 2>/dev/null
       log "complete"
       exit 0
+    fi
+    if target_reached; then
+      # the metrics hit the target but final/ hasn't landed: the child is in
+      # its final eval+save (measured 330-350s at 0.44B). Give it a bounded
+      # grace, then treat it as hung.
+      TGT_T=${TGT_T:-$NOW}
+      if [ $(( NOW - TGT_T )) -gt "${FINAL_GRACE_S:-900}" ]; then
+        log "target reached but no final/ after $(( NOW - TGT_T ))s — killing $CHILD"
+        kill "$CHILD" 2>/dev/null
+        sleep 10
+        kill -9 "$CHILD" 2>/dev/null
+        break
+      fi
     fi
   done
   wait "$CHILD" 2>/dev/null
