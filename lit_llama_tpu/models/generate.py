@@ -138,8 +138,10 @@ def _generate_compiled(
     mega = fused and "mega" in params
 
     def fused_step(tok, pos, cache, key):
+        import os
+
         from lit_llama_tpu.ops.fused_layer import (
-            decode_layer_fused, decode_step_fused,
+            decode_layers_fused, decode_step_fused,
         )
         from lit_llama_tpu.ops.linear import linear
         from lit_llama_tpu.ops.norm import rms_norm
@@ -155,12 +157,19 @@ def _generate_compiled(
                 x, params, cache, cosf, sinf, pos % S, pos, config
             )
             return logits, cache
+        # LAYERS PER LAUNCH (round-5): grouping n blocks into one Pallas
+        # launch removes n-1 of every n inter-kernel dispatch gaps and lets
+        # the weight-stream DMA chain run across the in-launch boundary
+        lpl = max(1, int(os.environ.get("LIT_LLAMA_TPU_LPL", "2")))
         new_layers = []
-        for lp, kv_l in zip(params["h"], cache):
-            x, kv_l = decode_layer_fused(
-                x, lp, kv_l, cosf, sinf, pos % S, pos, config
+        L = len(params["h"])
+        for i in range(0, L, lpl):
+            lps = params["h"][i : i + lpl]
+            x, kv_new = decode_layers_fused(
+                x, lps, cache[i : i + len(lps)], cosf, sinf, pos % S, pos,
+                config,
             )
-            new_layers.append(kv_l)
+            new_layers.extend(kv_new)
         if "qzero" in params["lm_head"]:
             from lit_llama_tpu.ops.fused_layer import lm_head_fused
 

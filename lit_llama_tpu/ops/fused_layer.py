@@ -511,198 +511,227 @@ def _decode_attention(q3_ref, kc, vc, o_ref, limit, *, H, S, hs, bs, packed,
 def _layer_kernel(
     # scalars (SMEM)
     wp_ref, limit_ref,
-    # small VMEM operands
-    x_ref, rms1_ref, rms2_ref, cos_ref, sin_ref,
-    # HBM weight planes (preceded by the two dense LoRA VMEM operands when
-    # lora=True: la (D, R8), lb (R8, 3D) — see prepare_lora_operands)
+    # small VMEM operands: x, cos, sin, then per layer rms1, rms2 (+ la, lb
+    # when lora) — followed by the HBM weight planes (12 per layer), the
+    # aliased caches, outputs and scratch
+    x_ref, cos_ref, sin_ref,
     *refs,
-    D, I, H, S, hs, gs, bn_ca, bn_cp, bn_f12, bn_mp, bs, packed, cdtype,
-    lora=False, pipelined=False,
+    n_lyr, D, I, H, S, hs, gs, bn_ca, bn_cp, bn_f12, bn_mp, bs, packed,
+    cdtype, lora=False, pipelined=False,
 ):
-    if lora:
-        la_ref, lb_ref = refs[0], refs[1]
-        refs = refs[2:]
-    else:
-        la_ref = lb_ref = None
-    (
-        ca_qw, ca_qs, ca_qz, cp_qw, cp_qs, cp_qz,
-        f12_qw, f12_qs, f12_qz, mp_qw, mp_qs, mp_qz,
-        kc_in, vc_in,
-        # outputs
-        xo_ref, kc_out, vc_out,
-        # persistent scratch
-        xs, h, qkv, fg, gg, q3, knew, vnew,
-        *pipe_refs,
-    ) = refs
+    """``n_lyr`` transformer blocks in ONE launch. Multi-layer launches halve
+    (or better) the per-launch gap count of the decode chain, and the
+    cross-stage DMA chain continues ACROSS the layer boundary: layer j's
+    mlp.c_proj prefetches layer j+1's c_attn block 0. Slot parity is plain
+    Python arithmetic here because every layer is statically unrolled."""
+    per = 2 + (2 if lora else 0)
+    small = refs[: per * n_lyr]
+    refs = refs[per * n_lyr:]
+    whbm = refs[: 12 * n_lyr]
+    refs = refs[12 * n_lyr:]
+    refs = refs[2 * n_lyr:]  # kc_in/vc_in (aliased; the _out refs are used)
+    xo_ref = refs[0]
+    kc_out = refs[1 : 1 + n_lyr]
+    vc_out = refs[1 + n_lyr : 1 + 2 * n_lyr]
+    (xs, h, qkv, fg, gg, q3, knew, vnew, *pipe_refs) = refs[1 + 2 * n_lyr:]
     wp = wp_ref[0]
     limit = limit_ref[0]
 
-    # Cross-stage DMA pipelining (the round-5 single-stream lever): the four
-    # weight-stream stages chain through kernel-scope shared buffer sets —
-    # A (K = D: c_attn, attn.c_proj, c_fc12) and B (K = I: mlp.c_proj) — so
-    # each stage's block-0 copies are launched by its PREDECESSOR's last
-    # block instead of cold at stage entry. The stage-boundary bubble
-    # (block-0 fetch + DMA issue, x4 stages x L layers) was the kernel
-    # chain's remaining fixed cost.
+    W = [
+        dict(zip(("ca_qw", "ca_qs", "ca_qz", "cp_qw", "cp_qs", "cp_qz",
+                  "f12_qw", "f12_qs", "f12_qz", "mp_qw", "mp_qs", "mp_qz"),
+                 whbm[12 * j : 12 * (j + 1)]))
+        for j in range(n_lyr)
+    ]
+    SM = [small[per * j : per * (j + 1)] for j in range(n_lyr)]
+
+    # Cross-stage DMA pipelining (round-5 single-stream lever): the weight
+    # streams chain through kernel-scope shared buffer sets — A (K = D:
+    # c_attn, attn.c_proj, c_fc12) and B (K = I: mlp.c_proj) — so each
+    # stage's block-0 copies are launched by its PREDECESSOR's last block
+    # instead of cold at stage entry. The stage-boundary bubble (block-0
+    # fetch + DMA issue, x4 stages x L layers) was the chain's remaining
+    # fixed cost.
+    pipes = [None] * n_lyr
     if pipelined:
         pwA, psA, pzA, semA, pwB, psB, pzB, semB = pipe_refs
         bufsA, bufsB = (pwA, psA, pzA), (pwB, psB, pzB)
         NB_ca, NB_cp, NB_f12 = 3 * D // bn_ca, D // bn_cp, 2 * I // bn_f12
-        s_cp = NB_ca % 2
-        s_f12 = (s_cp + NB_cp) % 2
+        NB_mp = D // bn_mp
 
-        def start_stage(bufs, sems, qw_, qs_, qz_, Kh_, bn_):
-            def go(free_slot):
+        def start_stage(bufs, sems, w, pfx, Kh_, bn_, slot_):
+            def go(_free):
                 for d in _mv_dmas(
-                    bufs, sems, free_slot, 0, qw_, qs_, qz_,
+                    bufs, sems, slot_, 0,
+                    w[pfx + "_qw"], w[pfx + "_qs"], w[pfx + "_qz"],
                     Kh=Kh_, bn=bn_, bnw=bn_ // 4, quad=False, blocked=True,
                 ):
                     d.start()
 
             return go
 
-        start_cp = start_stage(bufsA, semA, cp_qw, cp_qs, cp_qz, D // 2, bn_cp)
-        start_f12 = start_stage(
-            bufsA, semA, f12_qw, f12_qs, f12_qz, D // 2, bn_f12
-        )
-
-        def start_mp(_free_slot_of_A):
-            for d in _mv_dmas(
-                bufsB, semB, 0, 0, mp_qw, mp_qs, mp_qz,
-                Kh=I // 2, bn=bn_mp, bnw=bn_mp // 4, quad=False, blocked=True,
-            ):
-                d.start()
-
-        # ca's block 0 starts NOW, at kernel entry — the residual-stream init
-        # and rms_1 hide its fetch (nothing about it depends on x)
+        baseA = baseB = 0
+        plan = []
+        for j in range(n_lyr):
+            s_ca = baseA
+            s_cp = (s_ca + NB_ca) % 2
+            s_f12 = (s_cp + NB_cp) % 2
+            s_mp = baseB
+            baseA = (s_f12 + NB_f12) % 2
+            baseB = (s_mp + NB_mp) % 2
+            plan.append((s_ca, s_cp, s_f12, s_mp))
+        for j in range(n_lyr):
+            s_ca, s_cp, s_f12, s_mp = plan[j]
+            w = W[j]
+            # mp's successor: the NEXT layer's ca (cross-layer prefetch)
+            if j + 1 < n_lyr:
+                nxt = start_stage(
+                    bufsA, semA, W[j + 1], "ca", D // 2, bn_ca, plan[j + 1][0]
+                )
+            else:
+                nxt = None
+            pipes[j] = dict(
+                ca=dict(bufs=bufsA, sems=semA, slot0=s_ca, started=True,
+                        next_start=start_stage(bufsA, semA, w, "cp", D // 2,
+                                               bn_cp, s_cp)),
+                cp=dict(bufs=bufsA, sems=semA, slot0=s_cp, started=True,
+                        next_start=start_stage(bufsA, semA, w, "f12", D // 2,
+                                               bn_f12, s_f12)),
+                f12=dict(bufs=bufsA, sems=semA, slot0=s_f12, started=True,
+                         next_start=start_stage(bufsB, semB, w, "mp", I // 2,
+                                                bn_mp, s_mp)),
+                mp=dict(bufs=bufsB, sems=semB, slot0=s_mp, started=True,
+                        next_start=nxt),
+            )
+        # layer 0's ca block 0 starts NOW, at kernel entry — the residual
+        # init and rms_1 hide its fetch (nothing about it depends on x)
         for d in _mv_dmas(
-            bufsA, semA, 0, 0, ca_qw, ca_qs, ca_qz,
+            bufsA, semA, plan[0][0], 0,
+            W[0]["ca_qw"], W[0]["ca_qs"], W[0]["ca_qz"],
             Kh=D // 2, bn=bn_ca, bnw=bn_ca // 4, quad=False, blocked=True,
         ):
             d.start()
-        pipe_ca = dict(
-            bufs=bufsA, sems=semA, slot0=0, started=True, next_start=start_cp
-        )
-        pipe_cp = dict(
-            bufs=bufsA, sems=semA, slot0=s_cp, started=True,
-            next_start=start_f12,
-        )
-        pipe_f12 = dict(
-            bufs=bufsA, sems=semA, slot0=s_f12, started=True,
-            next_start=start_mp,
-        )
-        pipe_mp = dict(bufs=bufsB, sems=semB, slot0=0, started=True)
-    else:
-        pipe_ca = pipe_cp = pipe_f12 = pipe_mp = None
 
     # residual stream: row 0 live, rows 1-7 identically zero
     xs[:] = jnp.zeros_like(xs)
     xs[0:1, :] = x_ref[:].astype(jnp.float32)
-
-    # ---- attention half ----------------------------------------------------
-    h[:] = _rms_norm_rows(xs[:], rms1_ref)
-    _mv_int4(h, qkv, ca_qw, ca_qs, ca_qz, K=D, N=3 * D, gs=gs, bn=bn_ca,
-             cdtype=cdtype, pipe=pipe_ca)
-    if lora:
-        _add_lora_delta(h, qkv, la_ref, lb_ref)
-
-    # per-head extraction (lane-aligned (1, hs) copies; no cross-lane reshape)
     rot = pltpu.roll  # pairs (i, i+hs/2) rotate within one lane row
     cosf = cos_ref[:].astype(jnp.float32)  # (1, hs)
     sinf = sin_ref[:]
-    for head in range(H):
-        qh = qkv[0:1, head * hs : (head + 1) * hs].astype(jnp.float32)
-        kh = qkv[0:1, D + head * hs : D + (head + 1) * hs].astype(jnp.float32)
-        vh = qkv[0:1, 2 * D + head * hs : 2 * D + (head + 1) * hs]
-        q3[head : head + 1, :] = qh * cosf + rot(qh, hs // 2, axis=1) * sinf
-        krow = kh * cosf + rot(kh, hs // 2, axis=1) * sinf
-        if packed:
-            knew[head : head + 1, :] = _bf16_bits(krow)
-            vnew[head : head + 1, :] = _bf16_bits(vh.astype(jnp.float32))
-        else:
-            knew[head, 0:1, :] = krow.astype(knew.dtype)
-            vnew[head, 0:1, :] = vh.astype(vnew.dtype)
 
-    # write the new position in place, then attend over the cache including it
-    if packed:
-        wr = wp // 2
-        hi_half = jax.lax.rem(wp, 2) == 1
+    for j in range(n_lyr):
+        w = W[j]
+        rms1_ref, rms2_ref = SM[j][0], SM[j][1]
+        la_ref, lb_ref = (SM[j][2], SM[j][3]) if lora else (None, None)
+        pj = pipes[j] or {}
+        kco, vco = kc_out[j], vc_out[j]
 
-        def write_rows(kb, vb, sems):
-            rk = pltpu.make_async_copy(
-                kc_out.at[0, :, pl.ds(wr, 1), :], kb, sems.at[0]
-            )
-            rv = pltpu.make_async_copy(
-                vc_out.at[0, :, pl.ds(wr, 1), :], vb, sems.at[1]
-            )
-            rk.start()
-            rv.start()
-            rk.wait()
-            rv.wait()
-            oldk = kb[:, 0, :]
-            kb[:, 0, :] = jnp.where(
-                hi_half,
-                (oldk & jnp.uint32(0xFFFF)) | (knew[:] << 16),
-                (oldk & jnp.uint32(0xFFFF0000)) | knew[:],
-            )
-            oldv = vb[:, 0, :]
-            vb[:, 0, :] = jnp.where(
-                hi_half,
-                (oldv & jnp.uint32(0xFFFF)) | (vnew[:] << 16),
-                (oldv & jnp.uint32(0xFFFF0000)) | vnew[:],
-            )
-            wk = pltpu.make_async_copy(
-                kb, kc_out.at[0, :, pl.ds(wr, 1), :], sems.at[0]
-            )
-            wv = pltpu.make_async_copy(
-                vb, vc_out.at[0, :, pl.ds(wr, 1), :], sems.at[1]
-            )
-            wk.start()
-            wv.start()
-            wk.wait()
-            wv.wait()
+        # ---- attention half ------------------------------------------------
+        h[:] = _rms_norm_rows(xs[:], rms1_ref)
+        _mv_int4(h, qkv, w["ca_qw"], w["ca_qs"], w["ca_qz"], K=D, N=3 * D,
+                 gs=gs, bn=bn_ca, cdtype=cdtype, pipe=pj.get("ca"))
+        if lora:
+            _add_lora_delta(h, qkv, la_ref, lb_ref)
 
-        pl.run_scoped(
-            write_rows,
-            pltpu.VMEM((H, 1, hs), jnp.uint32),
-            pltpu.VMEM((H, 1, hs), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
-        )
-    else:
-
-        def write_rows(sems):
-            kd = pltpu.make_async_copy(
-                knew, kc_out.at[0, :, pl.ds(wp, 1), :], sems.at[0]
-            )
-            vd = pltpu.make_async_copy(
-                vnew, vc_out.at[0, :, pl.ds(wp, 1), :], sems.at[1]
-            )
-            kd.start()
-            vd.start()
-            kd.wait()
-            vd.wait()
-
-        pl.run_scoped(write_rows, pltpu.SemaphoreType.DMA((2,)))
-
-    def att_out(y_s):
-        _decode_attention(q3, kc_out, vc_out, y_s, limit, H=H, S=S, hs=hs,
-                          bs=bs, packed=packed, cdtype=cdtype)
-        h[:] = jnp.zeros_like(h)
+        # per-head extraction (lane-aligned (1, hs) copies; no cross-lane
+        # reshape)
         for head in range(H):
-            h[0:1, head * hs : (head + 1) * hs] = y_s[head : head + 1, :]
+            qh = qkv[0:1, head * hs : (head + 1) * hs].astype(jnp.float32)
+            kh = qkv[0:1, D + head * hs : D + (head + 1) * hs].astype(
+                jnp.float32
+            )
+            vh = qkv[0:1, 2 * D + head * hs : 2 * D + (head + 1) * hs]
+            q3[head : head + 1, :] = qh * cosf + rot(qh, hs // 2, axis=1) * sinf
+            krow = kh * cosf + rot(kh, hs // 2, axis=1) * sinf
+            if packed:
+                knew[head : head + 1, :] = _bf16_bits(krow)
+                vnew[head : head + 1, :] = _bf16_bits(vh.astype(jnp.float32))
+            else:
+                knew[head, 0:1, :] = krow.astype(knew.dtype)
+                vnew[head, 0:1, :] = vh.astype(vnew.dtype)
 
-    pl.run_scoped(att_out, pltpu.VMEM((H, hs), jnp.float32))
+        # write the new position in place, then attend over the cache
+        # including it
+        if packed:
+            wr = wp // 2
+            hi_half = jax.lax.rem(wp, 2) == 1
 
-    _mv_int4(h, xs, cp_qw, cp_qs, cp_qz, K=D, N=D, gs=gs, bn=bn_cp,
-             cdtype=cdtype, residual_ref=xs, pipe=pipe_cp)
+            def write_rows(kb, vb, sems, kco=kco, vco=vco, hi_half=hi_half,
+                           wr=wr):
+                rk = pltpu.make_async_copy(
+                    kco.at[0, :, pl.ds(wr, 1), :], kb, sems.at[0]
+                )
+                rv = pltpu.make_async_copy(
+                    vco.at[0, :, pl.ds(wr, 1), :], vb, sems.at[1]
+                )
+                rk.start()
+                rv.start()
+                rk.wait()
+                rv.wait()
+                oldk = kb[:, 0, :]
+                kb[:, 0, :] = jnp.where(
+                    hi_half,
+                    (oldk & jnp.uint32(0xFFFF)) | (knew[:] << 16),
+                    (oldk & jnp.uint32(0xFFFF0000)) | knew[:],
+                )
+                oldv = vb[:, 0, :]
+                vb[:, 0, :] = jnp.where(
+                    hi_half,
+                    (oldv & jnp.uint32(0xFFFF)) | (vnew[:] << 16),
+                    (oldv & jnp.uint32(0xFFFF0000)) | vnew[:],
+                )
+                wk = pltpu.make_async_copy(
+                    kb, kco.at[0, :, pl.ds(wr, 1), :], sems.at[0]
+                )
+                wv = pltpu.make_async_copy(
+                    vb, vco.at[0, :, pl.ds(wr, 1), :], sems.at[1]
+                )
+                wk.start()
+                wv.start()
+                wk.wait()
+                wv.wait()
 
-    # ---- MLP half -----------------------------------------------------------
-    h[:] = _rms_norm_rows(xs[:], rms2_ref)
-    _mv_int4(h, fg, f12_qw, f12_qs, f12_qz, K=D, N=2 * I, gs=gs, bn=bn_f12,
-             cdtype=cdtype, pipe=pipe_f12)
-    gg[:] = jax.nn.silu(fg[:, :I]) * fg[:, I:]
-    _mv_int4(gg, xs, mp_qw, mp_qs, mp_qz, K=I, N=D, gs=gs, bn=bn_mp,
-             cdtype=cdtype, residual_ref=xs, pipe=pipe_mp)
+            pl.run_scoped(
+                write_rows,
+                pltpu.VMEM((H, 1, hs), jnp.uint32),
+                pltpu.VMEM((H, 1, hs), jnp.uint32),
+                pltpu.SemaphoreType.DMA((2,)),
+            )
+        else:
+
+            def write_rows(sems, kco=kco, vco=vco):
+                kd = pltpu.make_async_copy(
+                    knew, kco.at[0, :, pl.ds(wp, 1), :], sems.at[0]
+                )
+                vd = pltpu.make_async_copy(
+                    vnew, vco.at[0, :, pl.ds(wp, 1), :], sems.at[1]
+                )
+                kd.start()
+                vd.start()
+                kd.wait()
+                vd.wait()
+
+            pl.run_scoped(write_rows, pltpu.SemaphoreType.DMA((2,)))
+
+        def att_out(y_s, kco=kco, vco=vco):
+            _decode_attention(q3, kco, vco, y_s, limit, H=H, S=S, hs=hs,
+                              bs=bs, packed=packed, cdtype=cdtype)
+            h[:] = jnp.zeros_like(h)
+            for head in range(H):
+                h[0:1, head * hs : (head + 1) * hs] = y_s[head : head + 1, :]
+
+        pl.run_scoped(att_out, pltpu.VMEM((H, hs), jnp.float32))
+
+        _mv_int4(h, xs, w["cp_qw"], w["cp_qs"], w["cp_qz"], K=D, N=D, gs=gs,
+                 bn=bn_cp, cdtype=cdtype, residual_ref=xs, pipe=pj.get("cp"))
+
+        # ---- MLP half ------------------------------------------------------
+        h[:] = _rms_norm_rows(xs[:], rms2_ref)
+        _mv_int4(h, fg, w["f12_qw"], w["f12_qs"], w["f12_qz"], K=D, N=2 * I,
+                 gs=gs, bn=bn_f12, cdtype=cdtype, pipe=pj.get("f12"))
+        gg[:] = jax.nn.silu(fg[:, :I]) * fg[:, I:]
+        _mv_int4(gg, xs, w["mp_qw"], w["mp_qs"], w["mp_qz"], K=I, N=D, gs=gs,
+                 bn=bn_mp, cdtype=cdtype, residual_ref=xs, pipe=pj.get("mp"))
 
     xo_ref[:] = xs[0:1, :].astype(xo_ref.dtype)
 
@@ -733,33 +762,42 @@ def _pick_bs(S: int, H: int, hs: int, itemsize: int) -> int:
     raise ValueError(f"S={S} not tileable (need S % 128 == 0 for S > {cap})")
 
 
+_W12 = ("ca_qw", "ca_qs", "ca_qz", "cp_qw", "cp_qs", "cp_qz",
+        "f12_qw", "f12_qs", "f12_qz", "mp_qw", "mp_qs", "mp_qz")
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("D", "I", "H", "S", "hs", "gs", "cdtype", "interpret"),
+    static_argnames=("n_lyr", "D", "I", "H", "S", "hs", "gs", "cdtype",
+                     "interpret"),
 )
-def _call_layer(
-    wp, limit, x, rms1, rms2, cosf, sinf, weights, kc, vc,
-    *, D, I, H, S, hs, gs, cdtype, interpret=False,
+def _call_layers(
+    wp, limit, x, cosf, sinf, smalls, weights, kcs, vcs,
+    *, n_lyr, D, I, H, S, hs, gs, cdtype, interpret=False,
 ):
-    packed = kc.dtype == jnp.uint32
-    lora = "la" in weights
+    """``n_lyr`` blocks in one launch. ``smalls``: per-layer (rms1, rms2
+    [, la, lb]); ``weights``: per-layer dicts of the 12 HBM planes;
+    ``kcs``/``vcs``: per-layer caches (aliased in place)."""
+    packed = kcs[0].dtype == jnp.uint32
+    lora = len(smalls[0]) == 4
     bn_ca = _pick_bn(3 * D, D)
     bn_cp = _pick_bn(D, D)
     bn_f12 = _pick_bn(2 * I, D)
     bn_mp = _pick_bn(D, I)
-    bs = _pick_bs(S, H, hs, 2 if packed else kc.dtype.itemsize)
+    bs = _pick_bs(S, H, hs, 2 if packed else kcs[0].dtype.itemsize)
     # cross-stage pipelining needs the blocked scale layout on EVERY stage
     # (tiny test vocabs can leave individual planes in the legacy layout)
     pipelined = all(
-        weights[k].ndim == 3 for k in ("ca_qs", "cp_qs", "f12_qs", "mp_qs")
-    ) and weights["ca_qw"].dtype == jnp.uint8
+        w[k].ndim == 3 for w in weights
+        for k in ("ca_qs", "cp_qs", "f12_qs", "mp_qs")
+    ) and weights[0]["ca_qw"].dtype == jnp.uint8
     if pipelined and bs > 128 and S % 128 == 0:
         # the shared stage buffers (~7 MB) live for the whole kernel; halve
         # the attention streaming block so peak VMEM stays under the core's
         # ~16 MB (1 MB cache DMAs still amortize issue cost fully)
         bs = 128
     kernel = functools.partial(
-        _layer_kernel, D=D, I=I, H=H, S=S, hs=hs, gs=gs,
+        _layer_kernel, n_lyr=n_lyr, D=D, I=I, H=H, S=S, hs=hs, gs=gs,
         bn_ca=bn_ca, bn_cp=bn_cp, bn_f12=bn_f12, bn_mp=bn_mp, bs=bs,
         packed=packed, cdtype=jnp.dtype(cdtype), lora=lora,
         pipelined=pipelined,
@@ -767,28 +805,34 @@ def _call_layer(
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
-    kbytes = D * D // 2 * 4 + D * I // 2 * 3  # packed weight bytes per layer
+    kbytes = (D * D // 2 * 4 + D * I // 2 * 3) * n_lyr
     new_shape = (
         (pltpu.VMEM((H, hs), jnp.uint32),) * 2
         if packed
-        else (pltpu.VMEM((H, 1, hs), kc.dtype),) * 2
+        else (pltpu.VMEM((H, 1, hs), kcs[0].dtype),) * 2
     )
-    lora_ops = (weights["la"], weights["lb"]) if lora else ()
-    n_small = 7 + len(lora_ops)  # operands ahead of the HBM weight planes
-    R8 = weights["la"].shape[-1] if lora else 0
+    per = len(smalls[0])
+    flat_small = [t for sm in smalls for t in sm]
+    flat_w = [w[k] for w in weights for k in _W12]
+    n_in = 5 + per * n_lyr + 12 * n_lyr + 2 * n_lyr
+    kc0 = 5 + per * n_lyr + 12 * n_lyr
+    aliases = {}
+    for j in range(n_lyr):
+        aliases[kc0 + j] = 1 + j
+        aliases[kc0 + n_lyr + j] = 1 + n_lyr + j
+    R8 = smalls[0][2].shape[-1] if lora else 0
     out = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((1, D), x.dtype),
-            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
-            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+            (jax.ShapeDtypeStruct((1, D), x.dtype),)
+            + tuple(jax.ShapeDtypeStruct(c.shape, c.dtype) for c in kcs)
+            + tuple(jax.ShapeDtypeStruct(c.shape, c.dtype) for c in vcs)
         ),
-        in_specs=[smem, smem] + [vmem] * (n_small - 2)
-        + [hbm] * 12
-        + [hbm, hbm],
-        out_specs=(vmem, hbm, hbm),
-        # kc, vc update in place
-        input_output_aliases={n_small + 12: 1, n_small + 13: 2},
+        in_specs=[smem, smem] + [vmem] * (3 + per * n_lyr)
+        + [hbm] * (12 * n_lyr)
+        + [hbm] * (2 * n_lyr),
+        out_specs=(vmem,) + (hbm,) * (2 * n_lyr),
+        input_output_aliases=aliases,
         scratch_shapes=[
             pltpu.VMEM((8, D), jnp.float32),       # xs
             pltpu.VMEM((8, D), jnp.float32),       # h (normed vec / attn out)
@@ -822,22 +866,69 @@ def _call_layer(
             else []
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * (4 * D * D + 3 * D * I) + 4 * H * S * hs
-            + (2 * R8 * (D + 3 * D) if lora else 0),
-            bytes_accessed=kbytes + 2 * H * S * hs * 2,
-            transcendentals=H * S + 2 * I,
+            flops=(2 * (4 * D * D + 3 * D * I) + 4 * H * S * hs
+                   + (2 * R8 * (D + 3 * D) if lora else 0)) * n_lyr,
+            bytes_accessed=kbytes + 2 * H * S * hs * 2 * n_lyr,
+            transcendentals=(H * S + 2 * I) * n_lyr,
         ),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
-        wp, limit, x, rms1, rms2, cosf, sinf, *lora_ops,
-        weights["ca_qw"], weights["ca_qs"], weights["ca_qz"],
-        weights["cp_qw"], weights["cp_qs"], weights["cp_qz"],
-        weights["f12_qw"], weights["f12_qs"], weights["f12_qz"],
-        weights["mp_qw"], weights["mp_qs"], weights["mp_qz"],
-        kc, vc,
+        wp, limit, x, cosf, sinf, *flat_small, *flat_w, *kcs, *vcs,
     )
-    return out
+    xo = out[0]
+    return xo, out[1 : 1 + n_lyr], out[1 + n_lyr : 1 + 2 * n_lyr]
+
+
+def _layer_operands(lp, D):
+    """(smalls tuple, weights dict) for one prepared layer."""
+    ca_s, ca_z = _scale_pair(lp["attn"]["c_attn"])
+    cp_s, cp_z = _scale_pair(lp["attn"]["c_proj"])
+    f12_s, f12_z = _scale_pair(lp["mlp"]["c_fc12"])
+    mp_s, mp_z = _scale_pair(lp["mlp"]["c_proj"])
+    weights = {
+        "ca_qw": lp["attn"]["c_attn"]["qw"], "ca_qs": ca_s, "ca_qz": ca_z,
+        "cp_qw": lp["attn"]["c_proj"]["qw"], "cp_qs": cp_s, "cp_qz": cp_z,
+        "f12_qw": lp["mlp"]["c_fc12"]["qw"], "f12_qs": f12_s, "f12_qz": f12_z,
+        "mp_qw": lp["mlp"]["c_proj"]["qw"], "mp_qs": mp_s, "mp_qz": mp_z,
+    }
+    small = [lp["rms_1"].reshape(1, D), lp["rms_2"].reshape(1, D)]
+    if "lora_af" in lp["attn"]["c_attn"]:
+        small += [lp["attn"]["c_attn"]["lora_af"],
+                  lp["attn"]["c_attn"]["lora_bf"]]
+    return tuple(small), weights
+
+
+def decode_layers_fused(
+    x: jnp.ndarray,  # (1, D) compute dtype
+    lps,  # sequence of prepared layer params
+    kvs,  # matching sequence of {"k", "v"} caches
+    cosf: jnp.ndarray,
+    sinf: jnp.ndarray,
+    write_pos: jnp.ndarray,  # () int32 ring write slot (= pos % S)
+    limit: jnp.ndarray,  # () int32 visibility bound (= pos)
+    config,
+    interpret: bool = False,
+):
+    """``len(lps)`` fused blocks in ONE Pallas launch (the round-5 launch-gap
+    lever: 33 launches/step -> 32/n + 1, with the weight-stream DMA chain
+    continuing across the in-launch layer boundaries). Returns
+    (x_out, [updated cache dicts])."""
+    D, H, hs = config.n_embd, config.n_head, config.head_size
+    I = config.intermediate_size
+    packed = kvs[0]["k"].dtype == jnp.uint32
+    S = kvs[0]["k"].shape[-2] * (2 if packed else 1)
+    smalls, weights = zip(*(_layer_operands(lp, D) for lp in lps))
+    xo, kcs, vcs = _call_layers(
+        jnp.asarray(write_pos, jnp.int32).reshape(1),
+        jnp.asarray(limit, jnp.int32).reshape(1),
+        x, cosf, sinf, tuple(smalls), tuple(weights),
+        tuple(kv["k"] for kv in kvs), tuple(kv["v"] for kv in kvs),
+        n_lyr=len(lps), D=D, I=I, H=H, S=S, hs=hs,
+        gs=config.quant_groupsize,
+        cdtype=jnp.dtype(config.compute_dtype).name, interpret=interpret,
+    )
+    return xo, [{"k": kc, "v": vc} for kc, vc in zip(kcs, vcs)]
 
 
 def decode_layer_fused(
@@ -853,32 +944,11 @@ def decode_layer_fused(
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One fused block step. Returns (x_out (1, D), updated cache dict)."""
-    D, H, hs = config.n_embd, config.n_head, config.head_size
-    I = config.intermediate_size
-    packed = kv["k"].dtype == jnp.uint32
-    S = kv["k"].shape[-2] * (2 if packed else 1)
-    ca_s, ca_z = _scale_pair(lp["attn"]["c_attn"])
-    cp_s, cp_z = _scale_pair(lp["attn"]["c_proj"])
-    f12_s, f12_z = _scale_pair(lp["mlp"]["c_fc12"])
-    mp_s, mp_z = _scale_pair(lp["mlp"]["c_proj"])
-    weights = {
-        "ca_qw": lp["attn"]["c_attn"]["qw"], "ca_qs": ca_s, "ca_qz": ca_z,
-        "cp_qw": lp["attn"]["c_proj"]["qw"], "cp_qs": cp_s, "cp_qz": cp_z,
-        "f12_qw": lp["mlp"]["c_fc12"]["qw"], "f12_qs": f12_s, "f12_qz": f12_z,
-        "mp_qw": lp["mlp"]["c_proj"]["qw"], "mp_qs": mp_s, "mp_qz": mp_z,
-    }
-    if "lora_af" in lp["attn"]["c_attn"]:
-        weights["la"] = lp["attn"]["c_attn"]["lora_af"]
-        weights["lb"] = lp["attn"]["c_attn"]["lora_bf"]
-    xo, kc, vc = _call_layer(
-        jnp.asarray(write_pos, jnp.int32).reshape(1),
-        jnp.asarray(limit, jnp.int32).reshape(1),
-        x, lp["rms_1"].reshape(1, D), lp["rms_2"].reshape(1, D), cosf, sinf,
-        weights, kv["k"], kv["v"],
-        D=D, I=I, H=H, S=S, hs=hs, gs=config.quant_groupsize,
-        cdtype=jnp.dtype(config.compute_dtype).name, interpret=interpret,
+    xo, kvs = decode_layers_fused(
+        x, (lp,), (kv,), cosf, sinf, write_pos, limit, config,
+        interpret=interpret,
     )
-    return xo, {"k": kc, "v": vc}
+    return xo, kvs[0]
 
 
 # ---------------------------------------------------------------------------

@@ -7,7 +7,7 @@ across S), so the delta is the cost of compiling the kernel set itself. This
 script times each piece in one process, in dependency order, so every line's
 increment is attributable:
 
-  1. per-layer fused kernel (_call_layer) at headline S
+  1. per-layer fused kernel (_call_layers) at headline S
   2. lm_head kernel
   3. whole generate at headline S (prefill + loop + sampling — kernels now
      in-process-cached)

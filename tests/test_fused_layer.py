@@ -661,16 +661,16 @@ def test_arith_unpack_matches_i32(prepared, monkeypatch):
     cosf, sinf = rope_half_row(rope_cache, pos, hs)
     # fresh trace per env value: the flag is read at TRACE time, so clear the
     # jit cache of the wrapped call
-    fused_layer._call_layer.clear_cache()
+    fused_layer._call_layers.clear_cache()
     with pltpu.force_tpu_interpret_mode():
         got_arith, _ = fused_layer.decode_layer_fused(
             x, lp, kv, cosf, sinf, pos % S, pos, fcfg
         )
     monkeypatch.setenv("LIT_LLAMA_TPU_UNPACK", "i32")
-    fused_layer._call_layer.clear_cache()
+    fused_layer._call_layers.clear_cache()
     with pltpu.force_tpu_interpret_mode():
         got_i32, _ = fused_layer.decode_layer_fused(
             x, lp, kv, cosf, sinf, pos % S, pos, fcfg
         )
-    fused_layer._call_layer.clear_cache()
+    fused_layer._call_layers.clear_cache()
     np.testing.assert_array_equal(np.asarray(got_arith), np.asarray(got_i32))
