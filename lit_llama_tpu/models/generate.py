@@ -160,7 +160,7 @@ def _generate_compiled(
         # LAYERS PER LAUNCH (round-5): grouping n blocks into one Pallas
         # launch removes n-1 of every n inter-kernel dispatch gaps and lets
         # the weight-stream DMA chain run across the in-launch boundary
-        lpl = max(1, int(os.environ.get("LIT_LLAMA_TPU_LPL", "2")))
+        lpl = max(1, int(os.environ.get("LIT_LLAMA_TPU_LPL", "1")))
         new_layers = []
         L = len(params["h"])
         for i in range(0, L, lpl):
@@ -266,5 +266,11 @@ def generate(
         None if top_k is None else int(top_k),
         None if eos_id is None else int(eos_id),
     )
-    n = int(n_generated)
-    return np.asarray(buf)[: T + n]
+    # Each fresh device->host fetch is a round trip (~25 ms through a remote
+    # relay); without an eos the count is statically max_new_tokens — skip
+    # the scalar fetch entirely — and with one, fetch both values in a
+    # single transfer instead of two.
+    if eos_id is None:
+        return np.asarray(buf)
+    buf_np, n = jax.device_get((buf, n_generated))
+    return buf_np[: T + int(n)]
