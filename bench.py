@@ -130,8 +130,8 @@ def random_int8_params(config, key):
 
 def build_decode_params(config):
     """Random int4 params in the shipping decode layout (unstacked layers,
-    fused-kernel prep, megakernel planes when opted in). Shared by the
-    headline bench and scripts/ab_decode.py so the two cannot drift."""
+    fused-kernel prep). Shared by the headline bench and
+    scripts/ab_decode.py so the two cannot drift."""
     import jax
 
     from lit_llama_tpu.models import llama
@@ -141,7 +141,7 @@ def build_decode_params(config):
         config, jax.random.PRNGKey(0)
     )
     params = llama.unstack_layers(params)
-    params, config = maybe_prepare_fused(params, config, mega=True)
+    params, config = maybe_prepare_fused(params, config)
     jax.block_until_ready(params)
     return params, config
 
@@ -312,10 +312,6 @@ def run_bench() -> None:
 
         # Serving rows: aggregate tok/s at 32 slots + p50 TTFT (both named
         # BASELINE metrics; previously prose-only — VERDICT r3 missing #4).
-        # The megakernel's stacked weight copy (~3.3 GB) must actually be
-        # FREED before the 32-slot cache allocates — pop it from the caller's
-        # dict so the device buffers drop (a callee-local rebind would not).
-        params.pop("mega", None)
         try:
             serve_tok_s, ttft_p50, ttft_w1, warmup_s = _measure_serving(
                 params, config
@@ -442,12 +438,11 @@ def _attempt(env_extra: dict, timeout_s: int):
 def main() -> None:
     errors = []
     # degrade the kernel stack across attempts: the default (per-layer fused
-    # kernels — the measured-fastest path; the whole-step megakernel is
-    # opt-in and slower, see maybe_prepare_fused) falls back to the per-op
-    # XLA path — the round keeps a verified number.
+    # kernels — the measured-fastest path) falls back to the per-op XLA path
+    # — the round keeps a verified number.
     # LIT_LLAMA_TPU_BENCH_ATTEMPTS bounds the TOTAL attempt count (CI knob):
     # below 3, the most-degraded fallbacks are kept and plain attempts drop.
-    fallbacks = [{"LIT_LLAMA_TPU_MEGA": "0"}, {"LIT_LLAMA_TPU_FUSED": "0"}]
+    fallbacks = [{"LIT_LLAMA_TPU_LPL": "1"}, {"LIT_LLAMA_TPU_FUSED": "0"}]
     n = max(1, ATTEMPTS)
     if n >= 3:
         attempt_envs = [{}] * (n - 2) + fallbacks
@@ -458,8 +453,6 @@ def main() -> None:
     for i, env in enumerate(attempt_envs):
         rec, err = _attempt(env, ATTEMPT_TIMEOUT_S)
         if rec is not None:
-            if "LIT_LLAMA_TPU_MEGA" in env:
-                rec["megakernel"] = False
             if "LIT_LLAMA_TPU_FUSED" in env:
                 rec["fused_kernels"] = False
             print(json.dumps(rec))

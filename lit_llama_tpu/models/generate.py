@@ -132,17 +132,10 @@ def _generate_compiled(
         and (dtype != jnp.bfloat16 or packed_cache)
     )
 
-    # whole-STEP megakernel: all layers + final norm + lm_head in ONE launch
-    # (prepare_step_fused stacked the planes). The per-layer cache tuple from
-    # prefill is stacked once before the decode loop.
-    mega = fused and "mega" in params
-
     def fused_step(tok, pos, cache, key):
         import os
 
-        from lit_llama_tpu.ops.fused_layer import (
-            decode_layers_fused, decode_step_fused,
-        )
+        from lit_llama_tpu.ops.fused_layer import decode_layers_fused
         from lit_llama_tpu.ops.linear import linear
         from lit_llama_tpu.ops.norm import rms_norm
         from lit_llama_tpu.ops.rope import rope_half_row
@@ -152,11 +145,6 @@ def _generate_compiled(
             rope_cache, jnp.clip(pos, 0, config.block_size - 1), config.head_size
         )
         x = jnp.take(params["wte"], tok, axis=0).astype(dtype)  # (1, D)
-        if mega:
-            logits, cache = decode_step_fused(
-                x, params, cache, cosf, sinf, pos % S, pos, config
-            )
-            return logits, cache
         # LAYERS PER LAUNCH (round-5): grouping n blocks into one Pallas
         # launch removes n-1 of every n inter-kernel dispatch gaps and lets
         # the weight-stream DMA chain run across the in-launch boundary
@@ -177,14 +165,6 @@ def _generate_compiled(
         else:
             logits = linear(params["lm_head"], rms_norm(x, params["ln_f"]))
         return logits, tuple(new_layers)
-
-    if mega:
-        # one stacked (L, 1, H, S[, //2], hs) cache for the megakernel's
-        # dynamic-layer DMAs (one copy per generation, not per step)
-        cache = {
-            "k": jnp.stack([c["k"] for c in cache]),
-            "v": jnp.stack([c["v"] for c in cache]),
-        }
 
     def body(state):
         i, buf, cache, key, done = state

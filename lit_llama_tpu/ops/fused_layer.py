@@ -143,31 +143,7 @@ def blocked_scales(qs: jnp.ndarray, K: int, N: int, gs: int) -> jnp.ndarray:
     return q.reshape(G8, N // bn, bn).transpose(1, 0, 2)
 
 
-def quad_view(qw: jnp.ndarray, bn: int) -> jnp.ndarray:
-    """(…, Kh, N) u8 packed plane -> (…, Kh, N/4) u32 words for the
-    megakernel's dynamic-layer DMAs (sub-32-bit dtypes at dynamic DMA offsets
-    are fatal to this Mosaic toolchain — module docstring).
-
-    Within every ``bn``-column DMA block, byte i of word w holds LOGICAL
-    column i*bn/4 + w, so the in-kernel byte extraction ``(word >> 8i) & 0xFF``
-    yields the block's i-th quarter as a contiguous, naturally-ordered
-    (Kh, bn/4) plane — scales, zero planes and the output stay in logical
-    column order."""
-    lead, Kh, N = qw.shape[:-2], qw.shape[-2], qw.shape[-1]
-    assert N % bn == 0 and bn % 4 == 0, (N, bn)
-    bnw = bn // 4
-    blocks = qw.reshape(*lead, Kh, N // bn, bn)
-    s = jnp.arange(bn)
-    logical = (s % 4) * bnw + s // 4  # storage column s <- logical column
-    blocks = blocks[..., logical]
-    words = jax.lax.bitcast_convert_type(
-        blocks.reshape(*lead, Kh, N // bn, bnw, 4), jnp.uint32
-    )
-    return words.reshape(*lead, Kh, N // 4)
-
-
-def _mv_dmas(bufs, sems, slot, nb, qw, qs, qz, *, Kh, bn, bnw, quad, blocked,
-             layer=None):
+def _mv_dmas(bufs, sems, slot, nb, qw, qs, qz, *, Kh, bn, blocked):
     """The three async copies landing weight block ``nb`` into buffer ``slot``.
 
     Standalone (not a closure) so a PREVIOUS pipeline stage can start the next
@@ -176,22 +152,13 @@ def _mv_dmas(bufs, sems, slot, nb, qw, qs, qz, *, Kh, bn, bnw, quad, blocked,
     bubble was the whole-layer kernel's remaining fixed cost). Waits construct
     an identical descriptor; Pallas matches them through the semaphore."""
     wbuf, sbuf, zbuf = bufs
-    n0 = nb * bnw if quad else nb * bn
-    wn = bnw if quad else bn
-    if layer is None:
-        w_src = qw.at[:, pl.ds(n0, wn)]
-        if blocked:
-            s_src, z_src = qs.at[nb], qz.at[nb]
-        else:
-            s_src = qs.at[:, pl.ds(nb * bn, bn)]
-            z_src = qz.at[:, pl.ds(nb * bn, bn)]
+    wn = bn
+    w_src = qw.at[:, pl.ds(nb * bn, bn)]
+    if blocked:
+        s_src, z_src = qs.at[nb], qz.at[nb]
     else:
-        w_src = qw.at[layer, :, pl.ds(n0, wn)]
-        if blocked:
-            s_src, z_src = qs.at[layer, nb], qz.at[layer, nb]
-        else:
-            s_src = qs.at[layer, :, pl.ds(nb * bn, bn)]
-            z_src = qz.at[layer, :, pl.ds(nb * bn, bn)]
+        s_src = qs.at[:, pl.ds(nb * bn, bn)]
+        z_src = qz.at[:, pl.ds(nb * bn, bn)]
     # shared buffer sets are max-shaped over the stages they serve; land the
     # block in the leading corner (slices are static and tile-aligned). Use
     # the whole-plane form when the slice is full-extent — the exact DMA
@@ -214,16 +181,12 @@ def _mv_dmas(bufs, sems, slot, nb, qw, qs, qz, *, Kh, bn, bnw, quad, blocked,
 
 
 def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
-             residual_ref=None, sublanes=8, layer=None, pipe=None):
+             residual_ref=None, sublanes=8, pipe=None):
     """dst[:, :N] = src @ dequant(qw) (+ residual), streaming the weight.
 
     src_ref: (8, K) f32 VMEM scratch (row 0 live). qw (K/2, N) u8 HBM,
     qs/qz (G, N) f32 HBM. One n-block per iteration, K untiled (decode blocks
     are K-major streams; the largest 7B stage is 5504 x bn bytes per block).
-
-    ``layer``: dynamic leading index when the planes are STACKED (L, ...) —
-    the whole-step megakernel walks layers inside one launch (fori_loop), so
-    every DMA picks its layer's plane with a dynamic first index.
 
     ``pipe``: cross-stage pipelining state — dict with ``bufs`` (shared
     (wbuf, sbuf, zbuf) kernel-scope buffers), ``sems`` (2, 3), ``slot0``
@@ -237,18 +200,16 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
     Gh = G // 2
     Kh = K // 2
     NB = N // bn
-    quad = qw.dtype == jnp.uint32  # quad_view words (dynamic-DMA-legal u32)
-    bnw = bn // 4  # word columns per block in quad mode
     # blocked scale planes (NB, G8, bn) from blocked_scales(): contiguous
     # leading-index DMA reads into 8-aligned buffer planes. The legacy (G, N)
     # layout (interpret tests, unprepared params) DMAs column slices — only
     # legal on chip for friendly G (see blocked_scales docstring).
-    blocked = qs.ndim == (3 if layer is None else 4)
+    blocked = qs.ndim == 3
     G8 = qs.shape[-2] if blocked else G
     if blocked:
         assert qs.shape[-3:] == (NB, G8, bn) and G8 == _round8(G), (qs.shape, G, bn)
     if pipe is not None:
-        assert not quad and blocked, "pipelined stages need blocked scales"
+        assert blocked, "pipelined stages need blocked scales"
 
     # group sums of src for the factored zero-point term (f32, exact).
     # NOTE the lane-split reshape (8, K) -> (8, G, gs) is the one op here
@@ -263,7 +224,7 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
         def dmas(slot, nb):
             return _mv_dmas(
                 (wbuf, sbuf, zbuf), sems, slot, nb, qw, qs, qz,
-                Kh=Kh, bn=bn, bnw=bnw, quad=quad, blocked=blocked, layer=layer,
+                Kh=Kh, bn=bn, blocked=blocked,
             )
 
         # Nibble decode strategy (VPU-unpack-bound kernels, ~82% of HBM peak):
@@ -292,9 +253,7 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
                 next_start((nb + 1 + slot0) % 2)
             for d in dmas(slot, nb):
                 d.wait()
-            if quad:
-                pw = wbuf[slot, :Kh, :bnw]  # (Kh, bnw) u32 column-quad words
-            elif arith_unpack:
+            if arith_unpack:
                 # (Kh, bn) exact byte values; this Mosaic toolchain supports
                 # neither u8->bf16 nor u8->f32 directly — widen u8->i32->f32
                 # ->bf16 once per block (the i32 plane is what the default
@@ -316,40 +275,6 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
                 gx_hi, zbuf[slot, Gh:G, :bn], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            if quad:
-                # per-quarter accumulators: acc.at[:, cs].add(...) lowers to
-                # scatter-add, which Mosaic cannot lower — keep every slice
-                # static and concatenate once per block instead.
-                qacc = [acc[:, i * bnw : (i + 1) * bnw] for i in range(4)]
-                for g in range(Gh):
-                    xlo = src_ref[:, g * gs : (g + 1) * gs].astype(cdtype)
-                    xhi = src_ref[
-                        :, Kh + g * gs : Kh + (g + 1) * gs
-                    ].astype(cdtype)
-                    words = pw[g * gs : (g + 1) * gs]
-                    for i in range(4):
-                        byte = (words >> (8 * i)) & jnp.uint32(0xFF)
-                        b32 = byte.astype(jnp.int32)
-                        low_q = (b32 & 0xF).astype(cdtype)
-                        high_q = (b32 >> 4).astype(cdtype)
-                        lo_dot = jax.lax.dot_general(
-                            xlo, low_q, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                        hi_dot = jax.lax.dot_general(
-                            xhi, high_q, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                        cs = slice(i * bnw, (i + 1) * bnw)
-                        qacc[i] = qacc[i] + (
-                            lo_dot * sbuf[slot, g : g + 1, cs]
-                            + hi_dot * sbuf[slot, Gh + g : Gh + g + 1, cs]
-                        )
-                acc = jnp.concatenate(qacc, axis=1)
-                if residual_ref is not None:
-                    acc += residual_ref[:, nb * bn : (nb + 1) * bn]
-                dst_ref[:, nb * bn : (nb + 1) * bn] = acc
-                continue
             for g in range(Gh):
                 xlo = src_ref[:, g * gs : (g + 1) * gs].astype(cdtype)
                 xhi = src_ref[:, Kh + g * gs : Kh + (g + 1) * gs].astype(cdtype)
@@ -378,9 +303,7 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
     if pipe is None:
         pl.run_scoped(
             stage,
-            pltpu.VMEM((2, Kh, bnw), jnp.uint32)
-            if quad
-            else pltpu.VMEM((2, Kh, bn), jnp.uint8),
+            pltpu.VMEM((2, Kh, bn), jnp.uint8),
             pltpu.VMEM((2, G8, bn), jnp.float32),
             pltpu.VMEM((2, G8, bn), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
@@ -396,13 +319,12 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
 
 
 def _decode_attention(q3_ref, kc, vc, o_ref, limit, *, H, S, hs, bs, packed,
-                      cdtype, layer=None):
+                      cdtype):
     """Online-softmax decode attention for one query row per head.
 
     q3_ref (H, hs) VMEM; kc/vc HBM refs (the aliased cache OUTPUT refs, read
     after the new row's write completed): (1, H, S, hs) f32 direct mode, or
-    (1, H, S//2, hs) u32 packed bf16 pairs — with a leading L axis indexed by
-    ``layer`` inside the whole-step megakernel. o_ref (H, hs) f32 VMEM out.
+    (1, H, S//2, hs) u32 packed bf16 pairs. o_ref (H, hs) f32 VMEM out.
     Key position p visible iff p <= limit. ``bs`` counts POSITIONS per block
     (even in packed mode). Head-batched VPU multiply-reduce (the round-2
     finding: M=1 MXU dots per head pay a fixed pass latency each;
@@ -416,12 +338,8 @@ def _decode_attention(q3_ref, kc, vc, o_ref, limit, *, H, S, hs, bs, packed,
     def stage(kbuf, vbuf, m_s, l_s, acc_s, sems):
         def dmas(slot, sb):
             r0 = sb * rows_per_blk
-            if layer is None:
-                k_src = kc.at[0, :, pl.ds(r0, rows_per_blk), :]
-                v_src = vc.at[0, :, pl.ds(r0, rows_per_blk), :]
-            else:
-                k_src = kc.at[layer, 0, :, pl.ds(r0, rows_per_blk), :]
-                v_src = vc.at[layer, 0, :, pl.ds(r0, rows_per_blk), :]
+            k_src = kc.at[0, :, pl.ds(r0, rows_per_blk), :]
+            v_src = vc.at[0, :, pl.ds(r0, rows_per_blk), :]
             return (
                 pltpu.make_async_copy(k_src, kbuf.at[slot], sems.at[slot, 0]),
                 pltpu.make_async_copy(v_src, vbuf.at[slot], sems.at[slot, 1]),
@@ -564,7 +482,7 @@ def _layer_kernel(
                 for d in _mv_dmas(
                     bufs, sems, slot_, 0,
                     w[pfx + "_qw"], w[pfx + "_qs"], w[pfx + "_qz"],
-                    Kh=Kh_, bn=bn_, bnw=bn_ // 4, quad=False, blocked=True,
+                    Kh=Kh_, bn=bn_, blocked=True,
                 ):
                     d.start()
 
@@ -608,7 +526,7 @@ def _layer_kernel(
         for d in _mv_dmas(
             bufsA, semA, plan[0][0], 0,
             W[0]["ca_qw"], W[0]["ca_qs"], W[0]["ca_qz"],
-            Kh=D // 2, bn=bn_ca, bnw=bn_ca // 4, quad=False, blocked=True,
+            Kh=D // 2, bn=bn_ca, blocked=True,
         ):
             d.start()
 
@@ -1001,384 +919,6 @@ def lm_head_fused(x, ln_w, head: Params, config, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
-# Whole-STEP megakernel: the entire decode step — all L blocks + final norm +
-# lm_head — as ONE Pallas launch. A fori_loop walks the layers; every weight
-# plane is stacked (L, ...) in HBM and each DMA picks its layer with a dynamic
-# leading index. Removes the last per-launch gaps (33 -> 1) and every scrap of
-# inter-layer XLA glue from the decode step; sampling and the token embedding
-# stay outside (top-k sampling in-kernel would need sorts the VPU is bad at,
-# and both are microseconds).
-# ---------------------------------------------------------------------------
-
-
-def _step_kernel(
-    wp_ref, limit_ref,
-    x_ref, rms1_ref, rms2_ref, cos_ref, sin_ref, lnf_ref,
-    ca_qw, ca_qs, ca_qz, cp_qw, cp_qs, cp_qz,
-    f12_qw, f12_qs, f12_qz, mp_qw, mp_qs, mp_qz,
-    hd_qw, hd_qs, hd_qz,
-    kc_in, vc_in,
-    lo_ref, kc_out, vc_out,
-    xs, h, qkv, fg, gg, q3, knew, vnew, logits_s, rmsb, rsem,
-    *pipe_refs,
-    L, D, I, H, S, hs, gs, V,
-    bn_ca, bn_cp, bn_f12, bn_mp, bn_hd, bs, packed, cdtype, pipelined=False,
-):
-    wp = wp_ref[0]
-    limit = limit_ref[0]
-
-    xs[:] = jnp.zeros_like(xs)
-    xs[0:1, :] = x_ref[:].astype(jnp.float32)
-    cosf = cos_ref[:].astype(jnp.float32)  # (1, hs)
-    sinf = sin_ref[:]
-    rot = pltpu.roll
-
-    def layer(l, carry):
-        # Within-layer cross-stage DMA chain (same scheme as _layer_kernel):
-        # ca starts cold each layer (chaining ACROSS the fori_loop boundary
-        # would need a layer-invariant slot parity, and NB_ca+NB_cp+NB_f12 is
-        # odd at 7B), then cp/f12/mp's block-0 copies launch from their
-        # predecessor's last block. Closures capture the loop-carried l.
-        if pipelined:
-            pwA, psA, pzA, semA, pwB, psB, pzB, semB = pipe_refs
-            bufsA, bufsB = (pwA, psA, pzA), (pwB, psB, pzB)
-            NB_ca, NB_cp = 3 * D // bn_ca, D // bn_cp
-            s_cp = NB_ca % 2
-            s_f12 = (s_cp + NB_cp) % 2
-
-            def start_stage(bufs, sems, qw_, qs_, qz_, Kh_, bn_, slot_=None):
-                def go(free_slot):
-                    for d in _mv_dmas(
-                        bufs, sems, slot_ if slot_ is not None else free_slot,
-                        0, qw_, qs_, qz_, Kh=Kh_, bn=bn_, bnw=bn_ // 4,
-                        quad=False, blocked=True, layer=l,
-                    ):
-                        d.start()
-
-                return go
-
-            # ca's block 0 starts NOW, at layer entry — the rms-row DMAs and
-            # the norm hide its fetch (nothing about it depends on x)
-            start_stage(bufsA, semA, ca_qw, ca_qs, ca_qz, D // 2, bn_ca,
-                        slot_=0)(0)
-            pipe_ca = dict(
-                bufs=bufsA, sems=semA, slot0=0, started=True,
-                next_start=start_stage(
-                    bufsA, semA, cp_qw, cp_qs, cp_qz, D // 2, bn_cp
-                ),
-            )
-            pipe_cp = dict(
-                bufs=bufsA, sems=semA, slot0=s_cp, started=True,
-                next_start=start_stage(
-                    bufsA, semA, f12_qw, f12_qs, f12_qz, D // 2, bn_f12
-                ),
-            )
-            pipe_f12 = dict(
-                bufs=bufsA, sems=semA, slot0=s_f12, started=True,
-                next_start=start_stage(
-                    bufsB, semB, mp_qw, mp_qs, mp_qz, I // 2, bn_mp, slot_=0
-                ),
-            )
-            pipe_mp = dict(bufs=bufsB, sems=semB, slot0=0, started=True)
-        else:
-            pipe_ca = pipe_cp = pipe_f12 = pipe_mp = None
-        # ---- attention half --------------------------------------------
-        # rms planes are stacked (L, 1, D) f32 in HBM; fetch this layer's
-        # rows with leading-index dynamic DMAs (a dynamic VMEM slice of the
-        # stacked plane violates the (sublane, 128) tiling on this
-        # toolchain — "slice shape must be aligned to tiling").
-        r1 = pltpu.make_async_copy(rms1_ref.at[l], rmsb.at[0], rsem.at[0])
-        r2 = pltpu.make_async_copy(rms2_ref.at[l], rmsb.at[1], rsem.at[1])
-        r1.start()
-        r2.start()
-        r1.wait()
-        h[:] = _rms_norm_rows(xs[:], rmsb.at[0])
-        _mv_int4(h, qkv, ca_qw, ca_qs, ca_qz, K=D, N=3 * D, gs=gs, bn=bn_ca,
-                 cdtype=cdtype, layer=l, pipe=pipe_ca)
-        for head in range(H):
-            qh = qkv[0:1, head * hs : (head + 1) * hs].astype(jnp.float32)
-            kh = qkv[0:1, D + head * hs : D + (head + 1) * hs].astype(jnp.float32)
-            vh = qkv[0:1, 2 * D + head * hs : 2 * D + (head + 1) * hs]
-            q3[head : head + 1, :] = qh * cosf + rot(qh, hs // 2, axis=1) * sinf
-            krow = kh * cosf + rot(kh, hs // 2, axis=1) * sinf
-            if packed:
-                knew[head : head + 1, :] = _bf16_bits(krow)
-                vnew[head : head + 1, :] = _bf16_bits(vh.astype(jnp.float32))
-            else:
-                knew[head, 0:1, :] = krow.astype(knew.dtype)
-                vnew[head, 0:1, :] = vh.astype(vnew.dtype)
-
-        if packed:
-            wr = wp // 2
-            hi_half = jax.lax.rem(wp, 2) == 1
-
-            def write_rows(kb, vb, sems):
-                rk = pltpu.make_async_copy(
-                    kc_out.at[l, 0, :, pl.ds(wr, 1), :], kb, sems.at[0]
-                )
-                rv = pltpu.make_async_copy(
-                    vc_out.at[l, 0, :, pl.ds(wr, 1), :], vb, sems.at[1]
-                )
-                rk.start(); rv.start(); rk.wait(); rv.wait()
-                oldk = kb[:, 0, :]
-                kb[:, 0, :] = jnp.where(
-                    hi_half,
-                    (oldk & jnp.uint32(0xFFFF)) | (knew[:] << 16),
-                    (oldk & jnp.uint32(0xFFFF0000)) | knew[:],
-                )
-                oldv = vb[:, 0, :]
-                vb[:, 0, :] = jnp.where(
-                    hi_half,
-                    (oldv & jnp.uint32(0xFFFF)) | (vnew[:] << 16),
-                    (oldv & jnp.uint32(0xFFFF0000)) | vnew[:],
-                )
-                wk = pltpu.make_async_copy(
-                    kb, kc_out.at[l, 0, :, pl.ds(wr, 1), :], sems.at[0]
-                )
-                wv = pltpu.make_async_copy(
-                    vb, vc_out.at[l, 0, :, pl.ds(wr, 1), :], sems.at[1]
-                )
-                wk.start(); wv.start(); wk.wait(); wv.wait()
-
-            pl.run_scoped(
-                write_rows,
-                pltpu.VMEM((H, 1, hs), jnp.uint32),
-                pltpu.VMEM((H, 1, hs), jnp.uint32),
-                pltpu.SemaphoreType.DMA((2,)),
-            )
-        else:
-
-            def write_rows(sems):
-                kd = pltpu.make_async_copy(
-                    knew, kc_out.at[l, 0, :, pl.ds(wp, 1), :], sems.at[0]
-                )
-                vd = pltpu.make_async_copy(
-                    vnew, vc_out.at[l, 0, :, pl.ds(wp, 1), :], sems.at[1]
-                )
-                kd.start(); vd.start(); kd.wait(); vd.wait()
-
-            pl.run_scoped(write_rows, pltpu.SemaphoreType.DMA((2,)))
-
-        def att_out(y_s):
-            _decode_attention(q3, kc_out, vc_out, y_s, limit, H=H, S=S, hs=hs,
-                              bs=bs, packed=packed, cdtype=cdtype, layer=l)
-            h[:] = jnp.zeros_like(h)
-            for head in range(H):
-                h[0:1, head * hs : (head + 1) * hs] = y_s[head : head + 1, :]
-
-        pl.run_scoped(att_out, pltpu.VMEM((H, hs), jnp.float32))
-
-        _mv_int4(h, xs, cp_qw, cp_qs, cp_qz, K=D, N=D, gs=gs, bn=bn_cp,
-                 cdtype=cdtype, residual_ref=xs, layer=l, pipe=pipe_cp)
-
-        # ---- MLP half ---------------------------------------------------
-        r2.wait()
-        h[:] = _rms_norm_rows(xs[:], rmsb.at[1])
-        _mv_int4(h, fg, f12_qw, f12_qs, f12_qz, K=D, N=2 * I, gs=gs,
-                 bn=bn_f12, cdtype=cdtype, layer=l, pipe=pipe_f12)
-        gg[:] = jax.nn.silu(fg[:, :I]) * fg[:, I:]
-        _mv_int4(gg, xs, mp_qw, mp_qs, mp_qz, K=I, N=D, gs=gs, bn=bn_mp,
-                 cdtype=cdtype, residual_ref=xs, layer=l, pipe=pipe_mp)
-        return carry
-
-    jax.lax.fori_loop(0, L, layer, 0)
-
-    # ---- final norm + lm_head ------------------------------------------
-    h[:] = _rms_norm_rows(xs[:], lnf_ref)
-    _mv_int4(h, logits_s, hd_qw, hd_qs, hd_qz, K=D, N=V, gs=gs, bn=bn_hd,
-             cdtype=cdtype)
-    lo_ref[:] = logits_s[0:1, :].astype(lo_ref.dtype)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("L", "D", "I", "H", "S", "hs", "gs", "V", "cdtype",
-                     "interpret"),
-)
-def _call_step(
-    wp, limit, x, rms1, rms2, cosf, sinf, lnf, mega, head, kc, vc,
-    *, L, D, I, H, S, hs, gs, V, cdtype, interpret=False,
-):
-    packed = kc.dtype == jnp.uint32
-    bs = _pick_bs(S, H, hs, 2 if packed else kc.dtype.itemsize)
-    bn_ca, bn_cp = _pick_bn(3 * D, D), _pick_bn(D, D)
-    bn_f12, bn_mp = _pick_bn(2 * I, D), _pick_bn(D, I)
-    pipelined = mega["ca_qs"].ndim == 4 and mega["ca_qw"].dtype == jnp.uint8
-    if pipelined and bs > 128 and S % 128 == 0:
-        bs = 128  # shared stage buffers live for the whole kernel (VMEM cap)
-    kernel = functools.partial(
-        _step_kernel, L=L, D=D, I=I, H=H, S=S, hs=hs, gs=gs, V=V,
-        bn_ca=bn_ca, bn_cp=bn_cp, bn_f12=bn_f12, bn_mp=bn_mp,
-        bn_hd=_pick_bn(V, D), bs=bs, packed=packed, cdtype=jnp.dtype(cdtype),
-        pipelined=pipelined,
-    )
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    hbm = pl.BlockSpec(memory_space=pl.ANY)
-    new_shape = (
-        (pltpu.VMEM((H, hs), jnp.uint32),) * 2
-        if packed
-        else (pltpu.VMEM((H, 1, hs), kc.dtype),) * 2
-    )
-    kbytes = (D * D // 2 * 4 + D * I // 2 * 3) * L + D * V // 2
-    hs_pair = _scale_pair(head)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((1, V), x.dtype),
-            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
-            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
-        ),
-        # x vmem; rms planes HBM (layer rows DMA'd in-kernel); cos/sin/lnf vmem
-        in_specs=[smem, smem, vmem, hbm, hbm, vmem, vmem, vmem]
-        + [hbm] * 15
-        + [hbm, hbm],
-        out_specs=(vmem, hbm, hbm),
-        input_output_aliases={23: 1, 24: 2},  # kc, vc update in place
-        scratch_shapes=[
-            pltpu.VMEM((8, D), jnp.float32),       # xs
-            pltpu.VMEM((8, D), jnp.float32),       # h
-            pltpu.VMEM((8, 3 * D), jnp.float32),   # qkv
-            pltpu.VMEM((8, 2 * I), jnp.float32),   # fc12 out
-            pltpu.VMEM((8, I), jnp.float32),       # gate
-            pltpu.VMEM((H, hs), jnp.float32),      # q3
-            new_shape[0],                          # knew
-            new_shape[1],                          # vnew
-            pltpu.VMEM((8, V), jnp.float32),       # logits
-            pltpu.VMEM((2, 1, D), jnp.float32),    # rms row buffers
-            pltpu.SemaphoreType.DMA((2,)),         # rms DMA semaphores
-        ]
-        + (
-            [
-                pltpu.VMEM((2, D // 2, max(bn_ca, bn_cp, bn_f12)), jnp.uint8),
-                pltpu.VMEM(
-                    (2, _round8(D // gs), max(bn_ca, bn_cp, bn_f12)),
-                    jnp.float32,
-                ),
-                pltpu.VMEM(
-                    (2, _round8(D // gs), max(bn_ca, bn_cp, bn_f12)),
-                    jnp.float32,
-                ),
-                pltpu.SemaphoreType.DMA((2, 3)),
-                pltpu.VMEM((2, I // 2, bn_mp), jnp.uint8),
-                pltpu.VMEM((2, _round8(I // gs), bn_mp), jnp.float32),
-                pltpu.VMEM((2, _round8(I // gs), bn_mp), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 3)),
-            ]
-            if pipelined
-            else []
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=(2 * (4 * D * D + 3 * D * I) + 4 * H * S * hs) * L
-            + 2 * D * V,
-            bytes_accessed=kbytes + 2 * H * S * hs * 2 * L,
-            transcendentals=(H * S + 2 * I) * L,
-        ),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(
-        wp, limit, x, rms1, rms2, cosf, sinf, lnf.reshape(1, D),
-        mega["ca_qw"], mega["ca_qs"], mega["ca_qz"],
-        mega["cp_qw"], mega["cp_qs"], mega["cp_qz"],
-        mega["f12_qw"], mega["f12_qs"], mega["f12_qz"],
-        mega["mp_qw"], mega["mp_qs"], mega["mp_qz"],
-        head["qw"], hs_pair[0], hs_pair[1],
-        kc, vc,
-    )
-    return out
-
-
-def decode_step_fused(
-    x: jnp.ndarray,  # (1, D) compute dtype (embedded token)
-    params: Params,  # prepared params carrying "mega" (prepare_step_fused)
-    kv: Dict[str, jnp.ndarray],  # STACKED {"k","v"}: (L, 1, H, S[,//2], hs)
-    cosf: jnp.ndarray,
-    sinf: jnp.ndarray,
-    write_pos: jnp.ndarray,  # () int32 ring slot (= pos % S)
-    limit: jnp.ndarray,  # () int32 visibility bound (= pos)
-    config,
-    interpret: bool = False,
-) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """One FULL decode step (all layers + final norm + lm_head) in one Pallas
-    launch. Returns (logits (1, V), updated stacked cache)."""
-    mega = params["mega"]
-    D, H, hs = config.n_embd, config.n_head, config.head_size
-    I, L = config.intermediate_size, config.n_layer
-    packed = kv["k"].dtype == jnp.uint32
-    S = kv["k"].shape[-2] * (2 if packed else 1)
-    V = params["lm_head"]["qw"].shape[-1]
-    logits, kc, vc = _call_step(
-        jnp.asarray(write_pos, jnp.int32).reshape(1),
-        jnp.asarray(limit, jnp.int32).reshape(1),
-        x, mega["rms_1"], mega["rms_2"], cosf, sinf, params["ln_f"],
-        mega, params["lm_head"], kv["k"], kv["v"],
-        L=L, D=D, I=I, H=H, S=S, hs=hs, gs=config.quant_groupsize, V=V,
-        cdtype=jnp.dtype(config.compute_dtype).name, interpret=interpret,
-    )
-    return logits, {"k": kc, "v": vc}
-
-
-def prepare_step_fused(params: Params, config) -> Params:
-    """Stack the prepared per-layer planes into the megakernel's (L, ...)
-    layout under ``params["mega"]``. Run AFTER prepare_fused_params (half
-    basis + blocked scales). The per-layer tuple stays for prefill; the
-    stacked copy costs one extra weight-size allocation (~3.3 GB at 7B int4),
-    paid only on the single-stream decode path that uses the megakernel."""
-    h = params["h"]
-    if not isinstance(h, (list, tuple)) or "qscale_b" not in h[0]["attn"]["c_attn"]:
-        raise ValueError("prepare_step_fused needs prepare_fused_params output")
-    if "lora_af" in h[0]["attn"]["c_attn"]:
-        raise ValueError("megakernel has no LoRA branch yet (per-layer path has)")
-
-    def stack(path):
-        def get(lp):
-            node = lp
-            for k in path:
-                node = node[k]
-            return node
-
-        return jnp.stack([get(lp) for lp in h])
-
-    # LIT_LLAMA_TPU_MEGA_QUAD=1: store the weight planes as quad_view u32
-    # words — the u8 planes' DMAs carry a DYNAMIC layer offset inside the
-    # megakernel, which is the dtype class the round-3 bisect found fatal on
-    # this Mosaic toolchain; u32 words are the proven-legal fallback. Costs
-    # one extra in-kernel byte extraction per value. Default u8 until the
-    # on-chip smoke decides (scripts/smoke_fused_tpu.py).
-    import os
-
-    D, I = config.n_embd, config.intermediate_size
-    quad = os.environ.get("LIT_LLAMA_TPU_MEGA_QUAD", "0") == "1"
-
-    def wq(plane, N, K):
-        return quad_view(plane, _pick_bn(N, K)) if quad else plane
-
-    mega = {
-        # (L, 1, D) f32 in HBM: the kernel DMAs each layer's row. Dynamic
-        # layer slices of a VMEM-resident plane violate the (sublane, 128)
-        # tiling in every dtype/shape arrangement tried on this toolchain;
-        # a leading-index dynamic DMA from HBM is the proven-legal pattern.
-        "rms_1": stack(("rms_1",))[:, None, :].astype(jnp.float32),
-        "rms_2": stack(("rms_2",))[:, None, :].astype(jnp.float32),
-        "ca_qw": wq(stack(("attn", "c_attn", "qw")), 3 * D, D),
-        "ca_qs": stack(("attn", "c_attn", "qscale_b")),
-        "ca_qz": stack(("attn", "c_attn", "qzero_b")),
-        "cp_qw": wq(stack(("attn", "c_proj", "qw")), D, D),
-        "cp_qs": stack(("attn", "c_proj", "qscale_b")),
-        "cp_qz": stack(("attn", "c_proj", "qzero_b")),
-        "f12_qw": wq(stack(("mlp", "c_fc12", "qw")), 2 * I, D),
-        "f12_qs": stack(("mlp", "c_fc12", "qscale_b")),
-        "f12_qz": stack(("mlp", "c_fc12", "qzero_b")),
-        "mp_qw": wq(stack(("mlp", "c_proj", "qw")), D, I),
-        "mp_qs": stack(("mlp", "c_proj", "qscale_b")),
-        "mp_qz": stack(("mlp", "c_proj", "qzero_b")),
-    }
-    out = dict(params)
-    out["mega"] = mega
-    return out
-
-
-# ---------------------------------------------------------------------------
 # Batched (serving) block-half kernels: the slot_pos decode step at B slots.
 # The per-slot attention + cache write lives in its own kernel
 # (ops/decode_attention.decode_attention_write_pallas); these two fuse
@@ -1436,15 +976,14 @@ def _block_tail_kernel(
         def start_f12(free_slot):
             for d in _mv_dmas(
                 bufsA, semA, free_slot, 0, f12_qw, f12_qs, f12_qz,
-                Kh=D // 2, bn=bn_f12, bnw=bn_f12 // 4, quad=False,
-                blocked=True,
+                Kh=D // 2, bn=bn_f12, blocked=True,
             ):
                 d.start()
 
         def start_mp(_free):
             for d in _mv_dmas(
                 bufsB, semB, 0, 0, mp_qw, mp_qs, mp_qz,
-                Kh=I // 2, bn=bn_mp, bnw=bn_mp // 4, quad=False, blocked=True,
+                Kh=I // 2, bn=bn_mp, blocked=True,
             ):
                 d.start()
 
@@ -1452,7 +991,7 @@ def _block_tail_kernel(
         # hide its fetch
         for d in _mv_dmas(
             bufsA, semA, 0, 0, cp_qw, cp_qs, cp_qz,
-            Kh=D // 2, bn=bn_cp, bnw=bn_cp // 4, quad=False, blocked=True,
+            Kh=D // 2, bn=bn_cp, blocked=True,
         ):
             d.start()
         pipe_cp = dict(
@@ -1733,13 +1272,11 @@ def maybe_prepare_fused(params: Params, config, mega: bool = False) -> Tuple[Par
     model qualifies and we're on real TPU hardware (interpret mode covers CPU
     in tests). Opt out with LIT_LLAMA_TPU_FUSED=0 (A/B tool).
 
-    ``mega=True`` (single-stream decode CLIs): additionally stack the planes
-    for the whole-step megakernel — costs one extra weight-size allocation,
-    so serving/batched callers leave it off. The megakernel is OPT-IN
-    (LIT_LLAMA_TPU_MEGA=1): measured on chip (v5e, 7B int4, r4) it runs 132
-    tok/s vs 151 for the per-layer fused chain — one launch per step, but
-    the fori_loop serializes the stage DMA pipelines that XLA otherwise
-    overlaps across launches."""
+    ``mega`` is accepted and ignored (the whole-step megakernel was deleted
+    in round 5: with in-layer DMA chaining it measured 146.2 tok/s vs 164.9
+    for the per-layer chain — one launch per step removes the queue-level
+    overlap XLA provides BETWEEN launches, a strictly worse trade on this
+    hardware; scripts/probe_mosaic.py keeps the per-construct probes)."""
     import os
 
     if config.rope_layout == "half":  # already prepared — never permute twice
@@ -1750,15 +1287,7 @@ def maybe_prepare_fused(params: Params, config, mega: bool = False) -> Tuple[Par
         return params, config
     if not fused_layer_supported(config, params):
         return params, config
-    params, config = prepare_fused_params(params, config)
-    if (
-        mega
-        and os.environ.get("LIT_LLAMA_TPU_MEGA", "0") == "1"
-        and config.lora is None
-        and config.adapter is None
-    ):
-        params = prepare_step_fused(params, config)
-    return params, config
+    return prepare_fused_params(params, config)
 
 
 def _add_blocked_scales(w: Params, gs: int) -> Params:

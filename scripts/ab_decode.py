@@ -1,7 +1,7 @@
 """Single-stream 7B int4 decode at the headline geometry — one JSON line.
 
 A/B tool for kernel variants selected by env (LIT_LLAMA_TPU_UNPACK,
-LIT_LLAMA_TPU_MEGA, LIT_LLAMA_TPU_FUSED): the knobs are read at trace time
+LIT_LLAMA_TPU_LPL, LIT_LLAMA_TPU_FUSED): the knobs are read at trace time
 inside the kernels, so each arm must run in its own process. bench.py is the
 driver-facing harness; this is the minimal decode-only core for fast A/Bs
 (skips serving/int8/S=2048 rows).
@@ -46,7 +46,7 @@ def main() -> None:
                 "metric": "ab_decode_tok_s",
                 "value": round(tok_s, 2),
                 "unpack": os.environ.get("LIT_LLAMA_TPU_UNPACK", "i32"),
-                "mega": os.environ.get("LIT_LLAMA_TPU_MEGA", "0"),
+                "lpl": os.environ.get("LIT_LLAMA_TPU_LPL", "1"),
                 "fused": os.environ.get("LIT_LLAMA_TPU_FUSED", "1"),
                 "max_seq": seq,
                 "compile_s": round(compile_s, 1),

@@ -90,34 +90,6 @@ def _decode_steps_fused(params, config, rope_cache, tok, pos0, cache, key, n_ste
     return jax.lax.fori_loop(0, n_steps, body, (tok, cache, key))
 
 
-def _decode_steps_mega(params, config, rope_cache, tok, pos0, cache, key, n_steps):
-    """Whole-STEP megakernel path: one Pallas launch per decode step
-    (ops/fused_layer.decode_step_fused); cache is the stacked layout."""
-    from lit_llama_tpu.ops.fused_layer import decode_step_fused
-    from lit_llama_tpu.ops.rope import rope_half_row
-
-    packed = cache["k"].dtype == jnp.uint32
-    S = cache["k"].shape[-2] * (2 if packed else 1)
-
-    def body(i, carry):
-        tok, cache, key = carry
-        pos = pos0 + i
-        cosf, sinf = rope_half_row(
-            rope_cache, jnp.clip(pos, 0, config.block_size - 1), config.head_size
-        )
-        x = jnp.take(params["wte"], tok, axis=0).astype(
-            jnp.dtype(config.compute_dtype)
-        )
-        logits, cache = decode_step_fused(
-            x, params, cache, cosf, sinf, pos % S, pos, config
-        )
-        key, sub = jax.random.split(key)
-        nxt = gen.sample_logits(logits[0].astype(jnp.float32), sub, 0.8, 200)
-        return nxt[None], cache, key
-
-    return jax.lax.fori_loop(0, n_steps, body, (tok, cache, key))
-
-
 def _decode_steps_batched(params, config, rope_cache, toks, pos0, cache, key, n_steps):
     """Continuous-batching shape: B independent slots decoding via ``slot_pos``
     with per-slot sampling — the engine's step (serve/engine.py) without the
@@ -202,7 +174,6 @@ def run(
     batch: int = 1,
     stacked_cache: bool = False,
     fused: bool = False,
-    mega: bool = False,
 ) -> None:
     """Profile ``steps`` chained decode steps of ``model_size`` int4 on the chip.
 
@@ -213,7 +184,6 @@ def run(
         stacked_cache: keep the (L, ...) stacked KV cache (two full-cache
             copies per step) instead of the per-layer tuple layout, for A/B.
         fused: profile the whole-layer fused kernel path (batch 1 only).
-        mega: profile the whole-STEP megakernel (one launch per step).
     """
     enable_compilation_cache()
     sys.path.insert(0, str(wd))
@@ -239,24 +209,14 @@ def run(
     jax.block_until_ready(params)
 
     rope_cache = build_rope_cache(config.block_size, config.head_size)
-    pack_cache = (fused or mega) and jnp.dtype(config.compute_dtype) == jnp.bfloat16
+    pack_cache = fused and jnp.dtype(config.compute_dtype) == jnp.bfloat16
     if pack_cache:
         # the fused kernels take bf16 caches only in the packed-u32 layout
         config = config.replace(kv_cache_dtype=None)
     cache = llama.init_kv_cache(config, batch, max_seq_length, packed=pack_cache)
-    if not stacked_cache and not mega:
+    if not stacked_cache:
         cache = llama.unstack_kv_cache(cache)
-    if mega:
-        assert batch == 1, "megakernel is the single-stream step"
-        from lit_llama_tpu.ops.fused_layer import (
-            prepare_fused_params, prepare_step_fused,
-        )
-
-        params, config = prepare_fused_params(params, config)
-        params = prepare_step_fused(params, config)
-        run_steps = jax.jit(_decode_steps_mega, static_argnums=(1, 7))
-        tok = jnp.array([5], jnp.int32)
-    elif fused:
+    if fused:
         assert batch == 1, "fused path profiles the single-stream step"
         assert config.kv_cache_dtype in (None, "bfloat16"), "fused: bf16 cache only"
         assert config.head_size == 128, "fused path requires head_size 128 (TPU run)"

@@ -42,7 +42,6 @@ def main(max_batch: int = 32, steps_per_sync: int = 8,
         "7B", param_dtype="bfloat16", compute_dtype="bfloat16", quantize="int4"
     )
     params, config = build_decode_params(config)
-    params.pop("mega", None)
     tok_s, ttft_p50, ttft_w1, warmup_s = _measure_serving(
         params, config, max_batch, steps_per_sync, prefill_budget
     )

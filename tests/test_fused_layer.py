@@ -528,118 +528,50 @@ def test_engine_batched_fused_lora_matches(prepared_lora, monkeypatch):
 
 
 # ---------------------------------------------------------------------------
-# Whole-STEP megakernel: all layers + final norm + lm_head in one launch,
-# fori_loop over stacked (L, ...) planes with dynamic-leading-index DMAs.
+# Multi-layer launches: n blocks per pallas_call with the DMA chain crossing
+# the in-launch layer boundary (the megakernel was deleted in round 5 — one
+# launch per STEP measured slower than per-layer launches on chip).
 # ---------------------------------------------------------------------------
 
 
-@pytest.fixture(scope="module")
-def prepared_mega(prepared):
-    cfg, qparams, fparams, fcfg = prepared
-    mparams = fused_layer.prepare_step_fused(fparams, fcfg)
-    return cfg, qparams, mparams, fcfg
-
-
-def test_decode_step_fused_matches_per_layer(prepared_mega):
-    """One megakernel launch == the per-layer fused kernels + lm_head chain
-    (same prepared weights, f32 direct cache)."""
-    cfg, _, mparams, fcfg = prepared_mega
-    D, H, hs, L = cfg.n_embd, cfg.n_head, cfg.head_size, cfg.n_layer
-    S = 128
-    rng = np.random.default_rng(3)
-    layers = tuple(
-        {
-            "k": jnp.asarray(rng.normal(size=(1, H, S, hs)) * 0.3, jnp.float32),
-            "v": jnp.asarray(rng.normal(size=(1, H, S, hs)) * 0.3, jnp.float32),
-        }
-        for _ in range(L)
-    )
-    x = jnp.asarray(rng.normal(size=(1, D)) * 0.5, jnp.float32)
-    pos = jnp.int32(37)
-    rope_cache = build_rope_cache(fcfg.block_size, hs)
-    cosf, sinf = rope_half_row(rope_cache, pos, hs)
-
-    with pltpu.force_tpu_interpret_mode():
-        xr = x
-        ref_layers = []
-        for lp, kv_l in zip(mparams["h"], layers):
-            xr, kv_l = fused_layer.decode_layer_fused(
-                xr, lp, kv_l, cosf, sinf, pos % S, pos, fcfg
-            )
-            ref_layers.append(kv_l)
-        ref_logits = fused_layer.lm_head_fused(
-            xr, mparams["ln_f"], mparams["lm_head"], fcfg
-        )
-
-        stacked = {
-            "k": jnp.stack([c["k"] for c in layers]),
-            "v": jnp.stack([c["v"] for c in layers]),
-        }
-        got_logits, got_kv = fused_layer.decode_step_fused(
-            x, mparams, stacked, cosf, sinf, pos % S, pos, fcfg
-        )
-    np.testing.assert_allclose(
-        np.asarray(got_kv["k"]),
-        np.stack([np.asarray(c["k"]) for c in ref_layers]),
-        rtol=1e-5, atol=1e-5,
-    )
-    np.testing.assert_allclose(
-        np.asarray(got_logits), np.asarray(ref_logits), rtol=2e-3, atol=2e-3
-    )
-
-
-def test_mega_generate_matches_standard(prepared_mega):
-    """End-to-end greedy decode through the megakernel equals the per-op XLA
-    decode — including past the cache length (ring wrap inside the loop)."""
-    from lit_llama_tpu.models import generate as gen
-
-    cfg, qparams, mparams, fcfg = prepared_mega
-    prompt = np.asarray([5, 23, 81, 2, 40], np.int32)
-    S = 16
-    n_new = 2 * S
-    ref = gen.generate(
-        qparams, prompt, n_new, config=cfg, max_seq_length=S, temperature=0.0
-    )
-    with pltpu.force_tpu_interpret_mode():
-        got = gen.generate(
-            mparams, prompt, n_new, config=fcfg, max_seq_length=S, temperature=0.0
-        )
-    assert got.tolist() == ref.tolist()
-
-
-def test_decode_step_fused_quad_matches(prepared, monkeypatch):
-    """quad_view u32 weight planes (the dynamic-DMA-legal fallback layout)
-    produce the same logits as the default u8 planes."""
+def test_decode_layers_fused_matches_chain(prepared):
+    """2 blocks per launch == chaining two single-layer launches."""
     cfg, _, fparams, fcfg = prepared
-    D, H, hs, L = cfg.n_embd, cfg.n_head, cfg.head_size, cfg.n_layer
+    D, H, hs = fcfg.n_embd, fcfg.n_head, fcfg.head_size
     S = 32
-    rng = np.random.default_rng(11)
-    stacked = {
-        "k": jnp.asarray(rng.normal(size=(L, 1, H, S, hs)) * 0.3, jnp.float32),
-        "v": jnp.asarray(rng.normal(size=(L, 1, H, S, hs)) * 0.3, jnp.float32),
-    }
-    x = jnp.asarray(rng.normal(size=(1, D)) * 0.5, jnp.float32)
-    pos = jnp.int32(13)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, D)) * 0.4, jnp.float32)
+    kvs = [
+        {
+            "k": jnp.asarray(rng.normal(size=(1, H, S, hs)) * 0.2, jnp.float32),
+            "v": jnp.asarray(rng.normal(size=(1, H, S, hs)) * 0.2, jnp.float32),
+        }
+        for _ in range(2)
+    ]
     rope_cache = build_rope_cache(fcfg.block_size, hs)
+    pos = jnp.int32(7)
     cosf, sinf = rope_half_row(rope_cache, pos, hs)
+    f32cfg = fcfg.replace(compute_dtype="float32")
 
-    mparams_u8 = fused_layer.prepare_step_fused(fparams, fcfg)
-    monkeypatch.setenv("LIT_LLAMA_TPU_MEGA_QUAD", "1")
-    mparams_quad = fused_layer.prepare_step_fused(fparams, fcfg)
-    assert mparams_quad["mega"]["ca_qw"].dtype == jnp.uint32
-    with pltpu.force_tpu_interpret_mode():
-        ref_logits, ref_kv = fused_layer.decode_step_fused(
-            x, mparams_u8, dict(stacked), cosf, sinf, pos % S, pos, fcfg
-        )
-        got_logits, got_kv = fused_layer.decode_step_fused(
-            x, mparams_quad, dict(stacked), cosf, sinf, pos % S, pos, fcfg
-        )
-    np.testing.assert_allclose(
-        np.asarray(got_kv["k"]), np.asarray(ref_kv["k"]), rtol=1e-5, atol=1e-5
+    x2, kvs2 = fused_layer.decode_layers_fused(
+        x, tuple(fparams["h"][:2]), tuple(kvs), cosf, sinf, pos % S, pos,
+        f32cfg, interpret=True,
     )
+    xr = x
+    kvr = []
+    for lp, kv in zip(fparams["h"][:2], kvs):
+        xr, nk = fused_layer.decode_layer_fused(
+            xr, lp, kv, cosf, sinf, pos % S, pos, f32cfg, interpret=True
+        )
+        kvr.append(nk)
     np.testing.assert_allclose(
-        np.asarray(got_logits), np.asarray(ref_logits), rtol=2e-3, atol=2e-3
+        np.asarray(x2, np.float32), np.asarray(xr, np.float32),
+        atol=1e-4, rtol=1e-4,
     )
+    for a, b in zip(kvs2, kvr):
+        np.testing.assert_array_equal(np.asarray(a["k"]), np.asarray(b["k"]))
+
+# ---------------------------------------------------------------------------
 
 
 def test_arith_unpack_matches_i32(prepared, monkeypatch):
