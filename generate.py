@@ -65,12 +65,26 @@ def main(
     params = unstack_layers(params)
     # whole-layer fused decode kernels (one Pallas launch per block) when the
     # model qualifies (int4, hs=128, bf16 cache) and we're on TPU
-    params, config = maybe_prepare_fused(params, config, mega=True)
+    params, config = maybe_prepare_fused(params, config)
     print(f"Time to load model: {time.time() - t0:.02f} seconds.", file=sys.stderr)
 
     tokenizer = Tokenizer(tokenizer_path)
     encoded = tokenizer.encode(prompt, bos=True, eos=False)
     prompt_length = len(encoded)
+
+    # Cold-start: compile the per-layer and lm_head kernels CONCURRENTLY (the
+    # remote compile service parallelizes) so the first sample's compile pays
+    # only the XLA graph build on top (ops/fused_layer.warm_kernels).
+    if config.rope_layout == "half":
+        from lit_llama_tpu.models.generate import plan_seq_length
+        from lit_llama_tpu.ops.fused_layer import warm_kernels
+
+        S_plan = plan_seq_length(
+            config, prompt_length + max_new_tokens
+        )
+        warm = warm_kernels(params, config, seq_lengths=(S_plan,))
+        if warm:
+            print(f"Kernel warm-up: {warm:.1f} seconds.", file=sys.stderr)
 
     key = jax.random.PRNGKey(seed)
     for i in range(num_samples):

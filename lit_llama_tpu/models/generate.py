@@ -200,6 +200,27 @@ def _generate_compiled(
     return buf, n_generated
 
 
+def plan_seq_length(
+    config: LLaMAConfig, t_new: int, max_seq_length: Optional[int] = None
+) -> int:
+    """The cache length a generation of ``t_new`` total tokens will use
+    (exposed so kernel warm-up can pre-compile at the exact geometry)."""
+    if max_seq_length is None:
+        max_seq_length = min(t_new, config.block_size)
+    if config.rope_layout == "half":
+        if max_seq_length > 128:
+            # fused decode kernel streams the cache in 128-position blocks once
+            # it no longer fits a single VMEM buffer; a 128-multiple S tiles
+            max_seq_length = min(-(-max_seq_length // 128) * 128, config.block_size)
+        elif max_seq_length % 16:
+            # packed bf16-pair cache: S/2 word rows must DMA in chunks whose
+            # row count is 8-aligned (ops/fused_layer._row_chunks) — S % 16
+            max_seq_length = min(
+                -(-max_seq_length // 16) * 16, config.block_size
+            )
+    return max_seq_length
+
+
 def generate(
     params,
     prompt: np.ndarray,
@@ -220,19 +241,7 @@ def generate(
     prompt = jnp.asarray(prompt, jnp.int32)
     T = int(prompt.shape[0])
     T_new = T + max_new_tokens
-    if max_seq_length is None:
-        max_seq_length = min(T_new, config.block_size)
-    if config.rope_layout == "half":
-        if max_seq_length > 128:
-            # fused decode kernel streams the cache in 128-position blocks once
-            # it no longer fits a single VMEM buffer; a 128-multiple S tiles
-            max_seq_length = min(-(-max_seq_length // 128) * 128, config.block_size)
-        elif max_seq_length % 16:
-            # packed bf16-pair cache: S/2 word rows must DMA in chunks whose
-            # row count is 8-aligned (ops/fused_layer._row_chunks) — S % 16
-            max_seq_length = min(
-                -(-max_seq_length // 16) * 16, config.block_size
-            )
+    max_seq_length = plan_seq_length(config, T_new, max_seq_length)
     if key is None:
         key = jax.random.PRNGKey(0)
     buf, n_generated = _generate_compiled(

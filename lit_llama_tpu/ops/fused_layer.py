@@ -1267,6 +1267,63 @@ def fused_layer_supported(config, params) -> bool:
     )
 
 
+def warm_kernels(params: Params, config, seq_lengths=(80,)) -> float:
+    """Compile the fused decode kernels CONCURRENTLY before the first
+    generate call. The remote TPU compile service runs independent compiles
+    in parallel (measured: layer kernel 57.8 s + lm_head 38.4 s serial ->
+    66.4 s concurrent), so warming the per-layer kernel (per cache length)
+    and the lm_head kernel in threads takes the ~40 s lm_head compile off
+    the cold-start critical path; the first generate then only pays its XLA
+    graph compile. No-op off the fused path. Returns seconds spent."""
+    import threading
+    import time as _time
+
+    if config.rope_layout != "half" or not isinstance(
+        params.get("h"), (list, tuple)
+    ):
+        return 0.0
+    if jax.default_backend() == "cpu":
+        return 0.0
+    from lit_llama_tpu.models import llama as _llama
+    from lit_llama_tpu.ops.rope import build_rope_cache, rope_half_row
+
+    D, hs = config.n_embd, config.head_size
+    dtype = jnp.dtype(config.compute_dtype)
+    x = jnp.zeros((1, D), dtype)
+    rope = build_rope_cache(config.block_size, hs)
+    cosf, sinf = rope_half_row(rope, jnp.int32(1), hs)
+    t0 = _time.perf_counter()
+    jobs = []
+    for S in seq_lengths:
+        packed = dtype == jnp.bfloat16 and config.kv_cache_dtype is None
+        if packed and S % 16:
+            continue
+        kv = _llama.unstack_kv_cache(
+            _llama.init_kv_cache(config, 1, S, dtype, packed=packed)
+        )[0]
+
+        def warm_layer(kv=kv):
+            out, _ = decode_layer_fused(
+                x, params["h"][0], kv, cosf, sinf, jnp.int32(1), jnp.int32(1),
+                config,
+            )
+            jax.block_until_ready(out)
+
+        jobs.append(warm_layer)
+    if "qzero" in params.get("lm_head", {}):
+        jobs.append(
+            lambda: jax.block_until_ready(
+                lm_head_fused(x, params["ln_f"], params["lm_head"], config)
+            )
+        )
+    threads = [threading.Thread(target=j, daemon=True) for j in jobs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return _time.perf_counter() - t0
+
+
 def maybe_prepare_fused(params: Params, config, mega: bool = False) -> Tuple[Params, Any]:
     """Dispatch wrapper for CLIs: prepare the fused-kernel layout when the
     model qualifies and we're on real TPU hardware (interpret mode covers CPU
