@@ -147,7 +147,7 @@ def build_decode_params(config):
 
 
 def _measure_serving(params, config, max_batch: int = 32, steps_per_sync=None,
-                     prefill_budget=None):
+                     prefill_budget=None, max_seq: int = 256):
     """Continuous-batching aggregate tok/s and p50 TTFT at the headline slot
     count (the BASELINE metric names p50 TTFT; scripts/bench_serving.py is the
     full-featured tool — this is its driver-parseable core, and the numbers
@@ -164,7 +164,7 @@ def _measure_serving(params, config, max_batch: int = 32, steps_per_sync=None,
     if prefill_budget is None:
         prefill_budget = int(os.environ.get("LIT_LLAMA_TPU_BENCH_PB", "1024"))
     n_requests = 2 * max_batch
-    max_new, max_seq = 64, 256
+    max_new = 64
     rng = np.random.default_rng(0)
     lens = np.exp(rng.uniform(np.log(8), np.log(128), n_requests)).astype(int)
     prompts = [
@@ -352,11 +352,13 @@ def run_bench() -> None:
                 {"metric": "serving_tok_s_32slots", "error": str(e)[:300]}
             )
 
-        # 64-slot row (CHIP_RUNBOOK r5: int4 weights 3.3 GB + 64x256 packed
-        # cache fits HBM; the weight stream amortizes over 2x the slots)
+        # 64-slot row: 2x the slots at half the context (64x256 caches plus
+        # the executables' temp arenas exhaust the 16 GB HBM; 64x128 holds
+        # the same cache bytes as 32x256 — the weight stream amortizes over
+        # 2x the rows per step)
         try:
             serve64, ttft64, _w1_64, warm64 = _measure_serving(
-                params, config, 64
+                params, config, 64, max_seq=128
             )
             record["extra_rows"].append(
                 {

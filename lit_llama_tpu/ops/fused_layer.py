@@ -217,7 +217,9 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
     # the supported (.., a*128) -> (.., a, 128) class); if it ever fails to
     # lower, fall back to per-group (8, 1) sums stored into a (8, G_pad)
     # scratch — slice stores are legal where scalar stores are not.
-    gx = jnp.sum(src_ref[:].reshape(sublanes, G, gs), axis=2)  # (8, G)
+    gx = jnp.sum(
+        src_ref[:].astype(jnp.float32).reshape(sublanes, G, gs), axis=2
+    )  # (8, G)
     gx_lo, gx_hi = gx[:, :Gh], gx[:, Gh:]
 
     def stage(wbuf, sbuf, zbuf, sems, slot0=0, started=False, next_start=None):
@@ -226,6 +228,21 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
                 (wbuf, sbuf, zbuf), sems, slot, nb, qw, qs, qz,
                 Kh=Kh, bn=bn, blocked=blocked,
             )
+
+        # whole-plane reads when the buffer is exact-shape (self-contained
+        # path) — identical semantics, but keep the original access form the
+        # proven kernels lower; sliced reads only for SHARED max-shaped sets
+        w_exact = wbuf.shape[1:] == (Kh, bn)
+        s_exact = sbuf.shape[-1] == bn  # row slices don't care about G8max
+
+        def w_read(slot):
+            return wbuf[slot] if w_exact else wbuf[slot, :Kh, :bn]
+
+        def srow(slot, a, b):
+            return sbuf[slot, a:b] if s_exact else sbuf[slot, a:b, :bn]
+
+        def zrow(slot, a, b):
+            return zbuf[slot, a:b] if s_exact else zbuf[slot, a:b, :bn]
 
         # Nibble decode strategy (VPU-unpack-bound kernels, ~82% of HBM peak):
         #   i32 (default): widen u8->i32, mask & shift, cast each half to
@@ -260,19 +277,19 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
                 # path materializes anyway); the per-group nibble math then
                 # runs in bf16 at 2x the register density of i32 shift/mask.
                 pf = (
-                    wbuf[slot, :Kh, :bn]
+                    w_read(slot)
                     .astype(jnp.int32)
                     .astype(jnp.float32)
                     .astype(cdtype)
                 )
             else:
-                p32 = wbuf[slot, :Kh, :bn].astype(jnp.int32)  # (Kh, bn)
+                p32 = w_read(slot).astype(jnp.int32)  # (Kh, bn)
             acc = jax.lax.dot_general(
-                gx_lo, zbuf[slot, :Gh, :bn], (((1,), (0,)), ((), ())),
+                gx_lo, zrow(slot, 0, Gh), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             acc += jax.lax.dot_general(
-                gx_hi, zbuf[slot, Gh:G, :bn], (((1,), (0,)), ((), ())),
+                gx_hi, zrow(slot, Gh, G), (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             for g in range(Gh):
@@ -294,11 +311,11 @@ def _mv_int4(src_ref, dst_ref, qw, qs, qz, *, K, N, gs, bn, cdtype,
                     xhi, high_q, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                acc += lo_dot * sbuf[slot, g : g + 1, :bn]
-                acc += hi_dot * sbuf[slot, Gh + g : Gh + g + 1, :bn]
+                acc += lo_dot * srow(slot, g, g + 1)
+                acc += hi_dot * srow(slot, Gh + g, Gh + g + 1)
             if residual_ref is not None:
                 acc += residual_ref[:, nb * bn : (nb + 1) * bn]
-            dst_ref[:, nb * bn : (nb + 1) * bn] = acc
+            dst_ref[:, nb * bn : (nb + 1) * bn] = acc.astype(dst_ref.dtype)
 
     if pipe is None:
         pl.run_scoped(
@@ -952,7 +969,10 @@ def _block_head_kernel(
              sublanes=xs.shape[0])
     if lora:
         _add_lora_delta(xs, qkv, la_ref, lb_ref)
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * D), 1)
+    # full-shape iota: a (1, N) mask broadcast against (B, N) operands hits a
+    # Mosaic vector.broadcast verifier bug at B=64 (element-type mismatch on
+    # the predicated select) — build the mask at operand shape instead
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (xs.shape[0], 3 * D), 1)
     head_mask = (lanes % 128) < 64
     rot = _rot_half_lanes(qkv[:], cos3_ref[:], sin3_ref[:], head_mask)
     o_ref[:] = rot[:B].astype(o_ref.dtype)
@@ -1012,11 +1032,25 @@ def _block_tail_kernel(
     h[:] = _rms_norm_rows(xs[:], rms2_ref)
     _mv_int4(h, fg, f12_qw, f12_qs, f12_qz, K=D, N=2 * I, gs=gs, bn=bn_f12,
              cdtype=cdtype, sublanes=xs.shape[0], pipe=pipe_f12)
-    gg[:] = jax.nn.silu(fg[:, :I]) * fg[:, I:]
+    # silu in f32 regardless of the fg/gg storage dtype: Mosaic's bf16
+    # logistic lowering emits an f32->bf16 vector.broadcast that fails
+    # verification
+    gg[:] = (
+        jax.nn.silu(fg[:, :I].astype(jnp.float32))
+        * fg[:, I:].astype(jnp.float32)
+    ).astype(gg.dtype)
     _mv_int4(gg, xs, mp_qw, mp_qs, mp_qz, K=I, N=D, gs=gs, bn=bn_mp,
              cdtype=cdtype, residual_ref=xs, sublanes=xs.shape[0],
              pipe=pipe_mp)
     o_ref[:] = xs[:B].astype(o_ref.dtype)
+
+
+def _tail_mid_dtype(Bp: int, cdtype):
+    """fg/gg scratch dtype for the batched tail kernel: f32 at small B, the
+    compute dtype at Bp >= 48 — (Bp, 2I) f32 alone is 11.3 MB at Bp=64 and
+    the kernel's scoped VMEM must stay under ~16 MB (the XLA path computes
+    these intermediates in compute dtype anyway)."""
+    return jnp.dtype(cdtype) if Bp >= 48 else jnp.float32
 
 
 def _round8(b: int) -> int:
@@ -1070,10 +1104,19 @@ def block_tail_fused(x, y, rms2, cp, f12, mp, *, B, D, I, gs, cdtype,
     if Bp != B:
         x = jnp.pad(x, ((0, Bp - B), (0, 0)))
         y = jnp.pad(y, ((0, Bp - B), (0, 0)))
+    import os
+
     bn_cp, bn_f12, bn_mp = _pick_bn(D, D), _pick_bn(2 * I, D), _pick_bn(D, I)
-    pipelined = cp.get("qscale_b") is not None and f12.get(
-        "qscale_b"
-    ) is not None and mp.get("qscale_b") is not None
+    pipelined = (
+        os.environ.get("LIT_LLAMA_TPU_TAIL_PIPE", "1") == "1"
+        # the shared stage buffers (~7.6 MB) don't fit next to (Bp, 2I)
+        # scratch at large B; the stage bubbles they hide amortize over the
+        # batch rows anyway
+        and Bp < 48
+        and cp.get("qscale_b") is not None
+        and f12.get("qscale_b") is not None
+        and mp.get("qscale_b") is not None
+    )
     kernel = functools.partial(
         _block_tail_kernel, B=B, D=D, I=I, gs=gs,
         bn_cp=bn_cp, bn_f12=bn_f12, bn_mp=bn_mp,
@@ -1089,8 +1132,8 @@ def block_tail_fused(x, y, rms2, cp, f12, mp, *, B, D, I, gs, cdtype,
         scratch_shapes=[
             pltpu.VMEM((Bp, D), jnp.float32),
             pltpu.VMEM((Bp, D), jnp.float32),
-            pltpu.VMEM((Bp, 2 * I), jnp.float32),
-            pltpu.VMEM((Bp, I), jnp.float32),
+            pltpu.VMEM((Bp, 2 * I), _tail_mid_dtype(Bp, cdtype)),
+            pltpu.VMEM((Bp, I), _tail_mid_dtype(Bp, cdtype)),
         ]
         + (
             [
