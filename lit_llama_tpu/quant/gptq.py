@@ -59,6 +59,27 @@ def _hinv_cholesky(H: jnp.ndarray, damp_frac: float = 0.01) -> jnp.ndarray:
     return jnp.linalg.cholesky(Hinv).T
 
 
+def _hinv_cholesky_host(H, damp_frac: float = 0.01):
+    """Host (LAPACK) version of :func:`_hinv_cholesky` for very wide linears:
+    XLA's blocked triangular_solve materializes ~20 temps of (in, in) size at
+    in=22016 (65B mlp.c_proj) — tens of GB of HBM for a 1.9 GB matrix. The
+    host does it in-place in f64 (the extra precision is free there)."""
+    import numpy as np
+
+    H = np.array(H, np.float64)
+    n = H.shape[0]
+    dead = np.diag(H) == 0.0
+    H[np.diag_indices(n)] += np.where(dead, 1.0, 0.0)
+    damp = damp_frac * float(np.mean(np.diag(H)))
+    H[np.diag_indices(n)] += damp
+    from scipy.linalg import solve_triangular
+
+    L = np.linalg.cholesky(H)
+    Linv = solve_triangular(L, np.eye(n), lower=True, check_finite=False)
+    Hinv = Linv.T @ Linv
+    return np.linalg.cholesky(Hinv).T.astype(np.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("groupsize", "blocksize", "actorder"))
 def gptq_quantize_matrix(
     w: jnp.ndarray,  # (in, out) f32
@@ -66,6 +87,7 @@ def gptq_quantize_matrix(
     groupsize: int = 128,
     blocksize: int = 128,
     actorder: bool = False,
+    hinv: jnp.ndarray = None,  # precomputed upper-Cholesky of (permuted) H⁻¹
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (q, scale, zero): q (in, out) int levels in [0,15],
     scale/zero (in/gs, out). Asymmetric 4-bit, per-(group, out-channel).
@@ -102,7 +124,8 @@ def gptq_quantize_matrix(
     else:
         perm = None
         group_of_row = None
-    Hinv = _hinv_cholesky(H)
+    # hinv (when given) was computed on the host from the ALREADY-PERMUTED H
+    Hinv = _hinv_cholesky(H) if hinv is None else hinv
 
     q_all = jnp.zeros((in_f, out_f), jnp.float32)
     scales = static_scales if actorder else jnp.zeros((n_groups, out_f), jnp.float32)
@@ -323,7 +346,18 @@ def quantize_model_gptq(
 
     def _quantize_into(lp, t, H):
         w = jnp.asarray(_get(lp, t)["w"]).astype(jnp.float32)
-        q, s, z = gptq_quantize_matrix(w, H, groupsize=groupsize, actorder=actorder)
+        hinv = None
+        if host_spill and H.shape[0] >= 16384:
+            # the device triangular solve at this width OOMs on temps; invert
+            # on host (from the permuted H when actorder reorders the walk)
+            H_np = np.asarray(H)
+            if actorder:
+                perm_np = np.argsort(-np.diag(H_np))
+                H_np = H_np[perm_np][:, perm_np]
+            hinv = jnp.asarray(_hinv_cholesky_host(H_np))
+        q, s, z = gptq_quantize_matrix(
+            w, H, groupsize=groupsize, actorder=actorder, hinv=hinv
+        )
         _get(lp, t).pop("w")
         if host_spill:
             _get(lp, t)["qw"] = np.asarray(pack_q4(q))

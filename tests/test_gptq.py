@@ -239,3 +239,27 @@ def test_quantize_model_gptq_host_spill_matches_device(rng):
             assert (a == b).mean() > 0.99
         else:
             np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_hinv_host_matches_device(rng):
+    """The host (LAPACK, f64) Hessian-inverse Cholesky used for very wide
+    linears in host-spill mode must match the on-device computation."""
+    n = 96
+    x = rng.normal(size=(512, n))
+    H = jnp.asarray(x.T @ x + np.eye(n), jnp.float32)
+    dev = gptq._hinv_cholesky(H)
+    host = gptq._hinv_cholesky_host(np.asarray(H))
+    np.testing.assert_allclose(np.asarray(dev), host, atol=5e-4, rtol=5e-3)
+
+
+def test_gptq_matrix_precomputed_hinv(rng):
+    """gptq_quantize_matrix(hinv=...) must reproduce the self-computed path."""
+    in_f, out_f, gs = 128, 64, 64
+    w = jnp.asarray(rng.normal(size=(in_f, out_f)), jnp.float32)
+    x = rng.normal(size=(256, in_f))
+    H = jnp.asarray(x.T @ x, jnp.float32)
+    q0, s0, z0 = gptq.gptq_quantize_matrix(w, H, groupsize=gs)
+    hinv = jnp.asarray(gptq._hinv_cholesky_host(np.asarray(H)))
+    q1, s1, z1 = gptq.gptq_quantize_matrix(w, H, groupsize=gs, hinv=hinv)
+    assert (np.asarray(q0) == np.asarray(q1)).mean() > 0.99
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-5)
