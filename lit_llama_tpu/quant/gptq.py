@@ -65,19 +65,25 @@ def _hinv_cholesky_host(H, damp_frac: float = 0.01):
     in=22016 (65B mlp.c_proj) — tens of GB of HBM for a 1.9 GB matrix. The
     host does it in-place in f64 (the extra precision is free there)."""
     import numpy as np
+    from scipy.linalg import lapack
 
-    H = np.array(H, np.float64)
+    H = np.array(H, np.float32)  # local copy, mutated in place
     n = H.shape[0]
     dead = np.diag(H) == 0.0
-    H[np.diag_indices(n)] += np.where(dead, 1.0, 0.0)
+    H[np.diag_indices(n)] += np.where(dead, np.float32(1.0), np.float32(0.0))
     damp = damp_frac * float(np.mean(np.diag(H)))
-    H[np.diag_indices(n)] += damp
-    from scipy.linalg import solve_triangular
-
-    L = np.linalg.cholesky(H)
-    Linv = solve_triangular(L, np.eye(n), lower=True, check_finite=False)
+    H[np.diag_indices(n)] += np.float32(damp)
+    # potrf + trtri: in-place Cholesky and triangular inverse — no (n, n)
+    # identity RHS, ~4 live (n, n) f32 buffers total at n=22016 (~8 GB)
+    L, info = lapack.spotrf(H, lower=1, overwrite_a=1)
+    assert info == 0, f"spotrf failed: {info}"
+    Linv, info = lapack.strtri(L, lower=1, overwrite_c=1)
+    assert info == 0, f"strtri failed: {info}"
+    Linv = np.tril(Linv)  # lapack leaves the strict upper triangle untouched
     Hinv = Linv.T @ Linv
-    return np.linalg.cholesky(Hinv).T.astype(np.float32)
+    L2, info = lapack.spotrf(Hinv, lower=1, overwrite_a=1)
+    assert info == 0, f"spotrf(Hinv) failed: {info}"
+    return np.tril(L2).T.astype(np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("groupsize", "blocksize", "actorder"))
